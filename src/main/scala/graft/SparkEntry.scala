@@ -1,13 +1,468 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.asof.AsOfJoin
+import graft.core.{Canonical, TrajSchema}
+import graft.features.{Kinematic, Temporal}
+import graft.filters.{Filters, Hampel}
+import graft.interp.Interpolation
+import graft.kernels.Geo
+import graft.session.Sessionize
+import graft.stats.Stats
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), each with DuckDB oracle SQL over the same parquet tables.
+  *
+  * Canonical trajectory view: the `events` table is the entity×timestamp
+  * grid (user_id ≙ traj_id, ts monotone per user, (user_id, ts) unique).
+  * lat/lon channels are derived from `value` with EXACT IEEE arithmetic only
+  * (·, fmod, +) so Spark and DuckDB see bit-identical coordinates; the
+  * extent is a ~1° box so trig-derived features keep absolute error ≪ the
+  * output rounding grid (see the rounding-policy note below).
+  *
+  * Rounding policy (floating outputs only; both sides round identically):
+  * trig-derived values are rounded where libm ulp differences between JVM
+  * and DuckDB cannot flip the rounded value (distances ~1e5 m → 3 dp;
+  * speeds/bearings → 6 dp; higher derivatives are smaller → finer is safe);
+  * values on a decimal grid (sums/percentiles of rounded inputs) round fine
+  * (4–6 dp) because exact results sit at grid centers; means/stds round to
+  * 2 dp to absorb summation-order noise. `+ 0.0` kills negative zero.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---------- canonical views ----------
+
+  val S: TrajSchema = TrajSchema(orderCols = Seq("event_id"))
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  /** Entity grid with exact-arithmetic lat/lon channels (~1° box). */
+  def traj(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("user_id").cast("string").as("traj_id"),
+      col("ts"),
+      col("event_id"),
+      (col("value") % 1.0 - 0.5 + 39.0).as("lat"),
+      (col("value") * 7.0 % 1.0 - 0.5 + 116.0).as("lon")
+    )
+
+  /** The same view in DuckDB SQL — MUST mirror the Spark expression order
+    * op-for-op (all ops exact IEEE, so the two engines agree bitwise). */
+  val TrajSql: String =
+    """WITH traj AS (
+      |  SELECT cast(user_id AS varchar) AS traj_id, ts, event_id,
+      |         fmod(value, 1.0) - 0.5 + 39.0 AS lat,
+      |         fmod(value * 7.0, 1.0) - 0.5 + 116.0 AS lon
+      |  FROM events
+      |)""".stripMargin
+
+  /** Kinematic chain in DuckDB SQL, mirroring Kinematic.* value-for-value.
+    * dt in exact micros; haversine/bearing transcribed in the same operation
+    * order as graft.kernels.Geo. */
+  val KinSql: String = TrajSql +
+    """, lagd AS (
+      |  SELECT traj_id, ts, event_id, lat, lon,
+      |         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+      |         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS dt,
+      |         row_number() OVER w AS rn,
+      |         first_value(lat) OVER w AS lat0, first_value(lon) OVER w AS lon0
+      |  FROM traj WINDOW w AS (PARTITION BY traj_id ORDER BY ts, event_id)
+      |), kin0 AS (
+      |  SELECT *,
+      |    2 * atan2(sqrt(sin((radians(lat) - radians(plat)) / 2) * sin((radians(lat) - radians(plat)) / 2)
+      |                   + cos(radians(plat)) * cos(radians(lat)) * sin((radians(lon) - radians(plon)) / 2) * sin((radians(lon) - radians(plon)) / 2)),
+      |              sqrt(1.0 - (sin((radians(lat) - radians(plat)) / 2) * sin((radians(lat) - radians(plat)) / 2)
+      |                   + cos(radians(plat)) * cos(radians(lat)) * sin((radians(lon) - radians(plon)) / 2) * sin((radians(lon) - radians(plon)) / 2)))) * 6371000.0
+      |      AS dist,
+      |    CASE WHEN rn = 1 THEN NULL ELSE
+      |      2 * atan2(sqrt(sin((radians(lat) - radians(lat0)) / 2) * sin((radians(lat) - radians(lat0)) / 2)
+      |                     + cos(radians(lat0)) * cos(radians(lat)) * sin((radians(lon) - radians(lon0)) / 2) * sin((radians(lon) - radians(lon0)) / 2)),
+      |                sqrt(1.0 - (sin((radians(lat) - radians(lat0)) / 2) * sin((radians(lat) - radians(lat0)) / 2)
+      |                     + cos(radians(lat0)) * cos(radians(lat)) * sin((radians(lon) - radians(lon0)) / 2) * sin((radians(lon) - radians(lon0)) / 2)))) * 6371000.0
+      |    END AS dist_start,
+      |    fmod(fmod(degrees(atan2(cos(radians(lat)) * sin(radians(lon) - radians(plon)),
+      |                            cos(radians(plat)) * sin(radians(lat)) - sin(radians(plat)) * cos(radians(lat)) * cos(radians(lon) - radians(plon)))), 360.0) + 360.0, 360.0)
+      |      AS brg
+      |  FROM lagd
+      |), kin1 AS (
+      |  SELECT *, dist / dt AS speed,
+      |         (brg - lag(brg) OVER w) / dt AS brate
+      |  FROM kin0 WINDOW w AS (PARTITION BY traj_id ORDER BY ts, event_id)
+      |), kin2 AS (
+      |  SELECT *, (speed - lag(speed) OVER w) / dt AS acc,
+      |         (brate - lag(brate) OVER w) / dt AS robr_pre
+      |  FROM kin1 WINDOW w AS (PARTITION BY traj_id ORDER BY ts, event_id)
+      |), kin AS (
+      |  SELECT *, (acc - lag(acc) OVER w) / dt AS jerk
+      |  FROM kin2 WINDOW w AS (PARTITION BY traj_id ORDER BY ts, event_id)
+      |)""".stripMargin
+
+  /** round + negative-zero normalization, Spark side. */
+  private def r(c: Column, d: Int): Column = round(c, d) + 0.0
+  /** Same, SQL side. */
+  private def rs(e: String, d: Int): String = s"round($e, $d) + 0.0"
+
+  private def kin(spark: SparkSession, dir: String): DataFrame =
+    Kinematic.withKinematics(traj(spark, dir), S)
+
+  // ---------- flagship ----------
+
+  /** Flagship: full fused kinematic feature vector (K11) on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val df = kin(spark, "/root/testdata/sf0.001")
+    Canonical.cluster(df, S, 8)
+  }
+
+  // ---------- queries + oracles ----------
+
+  private val kinOut: Seq[(String, String, Int)] = Seq(
+    // (spark column, duckdb expr, round digits)
+    // digits sized so that ~2e-15 relative libm noise cannot cross a
+    // rounding-cell boundary even for the max observed magnitude at sf0.1
+    // (min dt 0.06 s ⇒ jerk up to ~4e8)
+    (Kinematic.Distance, "dist", 3),
+    (Kinematic.DistanceFromStart, "dist_start", 3),
+    (Kinematic.Speed, "speed", 3),
+    (Kinematic.Acceleration, "acc", 2),
+    (Kinematic.Jerk, "jerk", 2),
+    (Kinematic.Bearing, "brg", 5),
+    (Kinematic.BearingRate, "brate", 4),
+    (Kinematic.RateOfBearingRate, "robr_pre", 3)
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // K11 — the fused 8-feature vector (flagship correctness query)
+    "q_kin_features" -> ((sp, dir) => {
+      val base = kin(sp, dir)
+      base.select(
+        col("traj_id") +: col("event_id") +:
+          kinOut.map { case (c, _, d) => r(col(c), d).as(c) }: _*
+      )
+    }),
+    // K1 — consecutive haversine distance
+    "q_kin_distance" -> ((sp, dir) =>
+      Kinematic.withDistance(traj(sp, dir), S)
+        .select(col("traj_id"), col("event_id"), r(col(Kinematic.Distance), 3).as("distance"))),
+    // K2 — distance from entity start
+    "q_kin_distance_start" -> ((sp, dir) =>
+      Kinematic.withDistanceFromStart(traj(sp, dir), S)
+        .select(col("traj_id"), col("event_id"), r(col(Kinematic.DistanceFromStart), 3).as("distance_start"))),
+    // K3 — distance from a fixed point
+    "q_kin_distance_point" -> ((sp, dir) =>
+      Kinematic.withDistanceFromPoint(traj(sp, dir), S, 39.0, 116.0)
+        .select(col("traj_id"), col("event_id"), r(col("`Distance_from_(39.0, 116.0)`"), 3).as("dist_point"))),
+    // K4 — within-range indicator (predicate on rounded distance for
+    // engine-exact boundaries)
+    "q_kin_within_range" -> ((sp, dir) =>
+      traj(sp, dir).select(
+        col("traj_id"), col("event_id"),
+        (r(Geo.haversine(lit(39.0), lit(116.0), col("lat"), col("lon")), 3) <= 50000.0).as("within_50km"))),
+    // K5 — speed
+    "q_kin_speed" -> ((sp, dir) =>
+      Kinematic.withSpeed(traj(sp, dir), S)
+        .select(col("traj_id"), col("event_id"), r(col(Kinematic.Speed), 3).as("speed"))),
+    // K6/K7 — acceleration + jerk
+    "q_kin_acc_jerk" -> ((sp, dir) =>
+      Kinematic.withJerk(traj(sp, dir), S)
+        .select(col("traj_id"), col("event_id"),
+          r(col(Kinematic.Acceleration), 2).as("acceleration"),
+          r(col(Kinematic.Jerk), 2).as("jerk"))),
+    // K8/K9/K10 — bearing chain
+    "q_kin_bearing_chain" -> ((sp, dir) =>
+      Kinematic.withRateOfBearingRate(traj(sp, dir), S)
+        .select(col("traj_id"), col("event_id"),
+          r(col(Kinematic.Bearing), 5).as("bearing"),
+          r(col(Kinematic.BearingRate), 4).as("bearing_rate"),
+          r(col(Kinematic.RateOfBearingRate), 3).as("rate_of_bearing_rate"))),
+    // K12 — global bounding box (exact channel values — no rounding)
+    "q_kin_bbox" -> ((sp, dir) => Kinematic.boundingBox(traj(sp, dir), S)),
+    // K13 — per-entity start/end locations
+    "q_kin_start_end" -> ((sp, dir) => Kinematic.startEndLocations(traj(sp, dir), S)),
+    // K15 — per-entity distance travelled (sum of rounded → decimal grid)
+    "q_kin_distance_travelled" -> ((sp, dir) => {
+      val d = Kinematic.withDistance(traj(sp, dir), S)
+        .withColumn(Kinematic.Distance, r(col(Kinematic.Distance), 3))
+      d.groupBy(col("traj_id"))
+        .agg(r(sum(col(Kinematic.Distance)), 4).as("distance_travelled"))
+    }),
+    // K16 — distinct locations per entity
+    "q_kin_n_locations" -> ((sp, dir) => Kinematic.numberOfLocations(traj(sp, dir), S)),
+
+    // T1–T5 — fused temporal features
+    "q_tmp_features" -> ((sp, dir) =>
+      Temporal.withTemporals(traj(sp, dir), S)
+        .select(col("traj_id"), col("event_id"), col("Date"), col("Time"),
+          col("Day_Of_Week"), col("Weekend"), col("Time_Of_Day"))),
+    // T6 — per-entity duration (exact micros arithmetic)
+    "q_tmp_duration" -> ((sp, dir) => Temporal.trajDuration(traj(sp, dir), S)),
+    // T7 — per-entity start/end timestamps
+    "q_tmp_start_end" -> ((sp, dir) => Temporal.startEndTimes(traj(sp, dir), S)),
+
+    // F1 — dedup (events are unique; dedup over a coarsened copy to make it
+    // a real test: duplicate keys created by flooring ts to the hour)
+    "q_flt_dedup" -> ((sp, dir) => {
+      val t = traj(sp, dir).withColumn("ts", date_trunc("hour", col("ts"))).drop("event_id")
+      Filters.removeDuplicates(t, S).groupBy(col("traj_id")).agg(count(lit(1)).as("n"))
+    }),
+    // F2 — by entity id
+    "q_flt_by_id" -> ((sp, dir) =>
+      Filters.byTrajId(traj(sp, dir), S, "7").select(col("traj_id"), col("event_id"))),
+    // F4 — bounding box (exact lat/lon)
+    "q_flt_bbox" -> ((sp, dir) =>
+      Filters.byBoundingBox(traj(sp, dir), S, (38.8, 115.7, 39.2, 116.3))
+        .select(col("traj_id"), col("event_id"))),
+    // F4 complement
+    "q_flt_bbox_outside" -> ((sp, dir) =>
+      Filters.byBoundingBox(traj(sp, dir), S, (38.8, 115.7, 39.2, 116.3), inside = false)
+        .select(col("traj_id"), col("event_id"))),
+    // F5 — by date range
+    "q_flt_by_date" -> ((sp, dir) =>
+      Filters.byDate(traj(sp, dir), S, "2024-01-10", "2024-01-20")
+        .select(col("traj_id"), col("event_id"))),
+    // F6 — by datetime range
+    "q_flt_by_datetime" -> ((sp, dir) =>
+      Filters.byDateTime(traj(sp, dir), S, "2024-01-10 06:30:00", "2024-01-20 18:15:00")
+        .select(col("traj_id"), col("event_id"))),
+    // F7/F8 — speed band (predicates on rounded speed)
+    "q_flt_speed_band" -> ((sp, dir) => {
+      val t = Kinematic.withSpeed(traj(sp, dir), S)
+        .withColumn(Kinematic.Speed, r(col(Kinematic.Speed), 2))
+      Filters.byMinSpeed(Filters.byMaxSpeed(t, S, 40.0), S, 0.5)
+        .select(col("traj_id"), col("event_id"))
+    }),
+    // F9/F10 — consecutive-distance band
+    "q_flt_dist_band" -> ((sp, dir) => {
+      val t = Kinematic.withDistance(traj(sp, dir), S)
+        .withColumn(Kinematic.Distance, r(col(Kinematic.Distance), 3))
+      Filters.byMaxConsecutiveDistance(Filters.byMinConsecutiveDistance(t, S, 1000.0), S, 100000.0)
+        .select(col("traj_id"), col("event_id"))
+    }),
+    // F13 — IQR outlier fence on (rounded) distance
+    "q_flt_iqr_distance" -> ((sp, dir) => {
+      val t = Kinematic.withDistance(traj(sp, dir), S)
+        .withColumn(Kinematic.Distance, r(col(Kinematic.Distance), 3))
+      Filters.outliersByConsecutiveDistance(t, S).select(col("traj_id"), col("event_id"))
+    }),
+    // F15 — remove short trajectories
+    "q_flt_min_points" -> ((sp, dir) =>
+      Filters.removeShortTrajectories(traj(sp, dir), S, 60)
+        .groupBy(col("traj_id")).agg(count(lit(1)).as("n"))),
+    // F16 — Hampel on the exact lat channel
+    "q_flt_hampel" -> ((sp, dir) =>
+      Hampel.filter(traj(sp, dir), S, "lat", k = 5, nSigma = 3.0)
+        .select(col("traj_id"), col("event_id"))),
+
+    // G-gap — sessionize (exact micros comparison)
+    "q_ses_gap" -> ((sp, dir) =>
+      Sessionize.byGap(traj(sp, dir), S, 7200.0)
+        .select(col("traj_id"), col("event_id"), col("session_id"))),
+    // per-session stats
+    "q_ses_stats" -> ((sp, dir) =>
+      Sessionize.sessionStats(Sessionize.byGap(traj(sp, dir), S, 7200.0), S)),
+    // G1 — segment by days
+    "q_seg_days" -> ((sp, dir) =>
+      Sessionize.byDays(traj(sp, dir), S, 7)
+        .select(col("traj_id"), col("event_id"), col("seg_id"))),
+
+    // As-of join — most recent order per user at event time
+    "q_asof_orders" -> ((sp, dir) => {
+      val probe = events(sp, dir).select(col("user_id"), col("ts"), col("event_id"))
+      val build = sp.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+          col("o_orderkey"), col("o_totalprice"))
+      AsOfJoin.backward(probe, build, "user_id", "ts",
+          Seq("o_orderkey", "o_totalprice"), buildOrder = Seq("o_orderkey"))
+        .select(col("event_id"), col("asof_ts"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // I1 — linear interpolation (all-exact arithmetic)
+    "q_ip_linear" -> ((sp, dir) =>
+      Interpolation.linear(traj(sp, dir).drop("event_id"), S.copy(orderCols = Nil), 43200.0)),
+    // I3 — kinematic interpolation (exact closed-form arithmetic)
+    "q_ip_kinematic" -> ((sp, dir) =>
+      Interpolation.kinematic(traj(sp, dir).drop("event_id"), S.copy(orderCols = Nil), 43200.0)
+        .select(col("traj_id"), col("ts"), r(col("lat"), 6).as("lat"), r(col("lon"), 6).as("lon")))
+  )
+
+  def oracleSql: Map[String, String] = {
+    val kinFeat = kinOut
+      .map { case (c, e, d) => s"${rs(e, d)} AS \"$c\"" }
+      .mkString(", ")
+    Map(
+      "q_kin_features" ->
+        s"""$KinSql SELECT traj_id, event_id, $kinFeat FROM kin""",
+      "q_kin_distance" ->
+        s"""$KinSql SELECT traj_id, event_id, ${rs("dist", 3)} AS distance FROM kin""",
+      "q_kin_distance_start" ->
+        s"""$KinSql SELECT traj_id, event_id, ${rs("dist_start", 3)} AS distance_start FROM kin""",
+      "q_kin_distance_point" ->
+        s"""$TrajSql SELECT traj_id, event_id, ${rs(havSql("39.0", "116.0", "lat", "lon"), 3)} AS dist_point FROM traj""",
+      "q_kin_within_range" ->
+        s"""$TrajSql SELECT traj_id, event_id, (${rs(havSql("39.0", "116.0", "lat", "lon"), 3)}) <= 50000.0 AS within_50km FROM traj""",
+      "q_kin_speed" ->
+        s"""$KinSql SELECT traj_id, event_id, ${rs("speed", 3)} AS speed FROM kin""",
+      "q_kin_acc_jerk" ->
+        s"""$KinSql SELECT traj_id, event_id, ${rs("acc", 2)} AS acceleration, ${rs("jerk", 2)} AS jerk FROM kin""",
+      "q_kin_bearing_chain" ->
+        s"""$KinSql SELECT traj_id, event_id, ${rs("brg", 5)} AS bearing, ${rs("brate", 4)} AS bearing_rate, ${rs("robr_pre", 3)} AS rate_of_bearing_rate FROM kin""",
+      "q_kin_bbox" ->
+        s"""$TrajSql SELECT min(lat) AS lat_min, min(lon) AS lon_min, max(lat) AS lat_max, max(lon) AS lon_max FROM traj""",
+      "q_kin_start_end" ->
+        s"""$TrajSql SELECT traj_id, arg_min(lat, ts) AS start_lat, arg_min(lon, ts) AS start_lon,
+           |arg_max(lat, ts) AS end_lat, arg_max(lon, ts) AS end_lon FROM traj GROUP BY traj_id""".stripMargin,
+      "q_kin_distance_travelled" ->
+        s"""$KinSql SELECT traj_id, ${rs("sum(round(dist, 3) + 0.0)", 4)} AS distance_travelled FROM kin GROUP BY traj_id""",
+      "q_kin_n_locations" ->
+        s"""$TrajSql SELECT traj_id, count(DISTINCT (lat, lon)) AS n_locations FROM traj GROUP BY traj_id""",
+      "q_tmp_features" ->
+        s"""$TrajSql SELECT traj_id, event_id, cast(ts AS date) AS "Date",
+           |strftime(ts, '%H:%M:%S') AS "Time", dayname(ts) AS "Day_Of_Week",
+           |dayofweek(ts) IN (0, 6) AS "Weekend",
+           |CASE WHEN hour(ts) <= 4 THEN 'Late Night' WHEN hour(ts) <= 8 THEN 'Early Morning'
+           |     WHEN hour(ts) <= 12 THEN 'Morning' WHEN hour(ts) <= 16 THEN 'Noon'
+           |     WHEN hour(ts) <= 20 THEN 'Evening' ELSE 'Night' END AS "Time_Of_Day"
+           |FROM traj""".stripMargin,
+      "q_tmp_duration" ->
+        s"""$TrajSql SELECT traj_id, (max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0 AS duration_sec FROM traj GROUP BY traj_id""",
+      "q_tmp_start_end" ->
+        s"""$TrajSql SELECT traj_id, min(ts) AS start_time, max(ts) AS end_time FROM traj GROUP BY traj_id""",
+      "q_flt_dedup" ->
+        s"""$TrajSql SELECT traj_id, count(*) AS n FROM (
+           |  SELECT DISTINCT traj_id, date_trunc('hour', ts) AS ts2, lat, lon FROM traj
+           |) GROUP BY traj_id""".stripMargin,
+      "q_flt_by_id" ->
+        s"""$TrajSql SELECT traj_id, event_id FROM traj WHERE traj_id = '7'""",
+      "q_flt_bbox" ->
+        s"""$TrajSql SELECT traj_id, event_id FROM traj
+           |WHERE lat BETWEEN 38.8 AND 39.2 AND lon BETWEEN 115.7 AND 116.3""".stripMargin,
+      "q_flt_bbox_outside" ->
+        s"""$TrajSql SELECT traj_id, event_id FROM traj
+           |WHERE NOT (lat BETWEEN 38.8 AND 39.2 AND lon BETWEEN 115.7 AND 116.3)""".stripMargin,
+      "q_flt_by_date" ->
+        s"""$TrajSql SELECT traj_id, event_id FROM traj
+           |WHERE cast(ts AS date) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'""".stripMargin,
+      "q_flt_by_datetime" ->
+        s"""$TrajSql SELECT traj_id, event_id FROM traj
+           |WHERE ts BETWEEN TIMESTAMP '2024-01-10 06:30:00' AND TIMESTAMP '2024-01-20 18:15:00'""".stripMargin,
+      "q_flt_speed_band" ->
+        s"""$KinSql SELECT traj_id, event_id FROM kin
+           |WHERE coalesce(${rs("speed", 2)}, 41.0) <= 40.0 AND coalesce(${rs("speed", 2)}, -0.5) >= 0.5""".stripMargin,
+      "q_flt_dist_band" ->
+        s"""$KinSql SELECT traj_id, event_id FROM kin
+           |WHERE coalesce(${rs("dist", 3)}, 999.0) >= 1000.0 AND coalesce(${rs("dist", 3)}, 100001.0) <= 100000.0""".stripMargin,
+      "q_flt_iqr_distance" ->
+        s"""$KinSql, rd AS (SELECT traj_id, event_id, ${rs("dist", 3)} AS d FROM kin),
+           |q AS (SELECT quantile_cont(d, 0.25) AS q1, quantile_cont(d, 0.75) AS q3 FROM rd)
+           |SELECT traj_id, event_id FROM rd, q
+           |WHERE d > q1 - 1.5 * (q3 - q1) AND d < q3 + 1.5 * (q3 - q1)""".stripMargin,
+      "q_flt_min_points" ->
+        s"""$TrajSql SELECT traj_id, count(*) AS n FROM traj GROUP BY traj_id HAVING count(*) >= 60""",
+      "q_flt_hampel" ->
+        s"""$TrajSql, win AS (
+           |  SELECT traj_id, event_id, lat,
+           |    list_sort(list(lat) OVER frame) AS arr,
+           |    count(*) OVER (PARTITION BY traj_id ORDER BY ts, event_id ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS nb,
+           |    count(*) OVER (PARTITION BY traj_id ORDER BY ts, event_id ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING) AS na
+           |  FROM traj WINDOW frame AS (PARTITION BY traj_id ORDER BY ts, event_id ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+           |), med AS (
+           |  SELECT *, (arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1]) / 2.0 AS m FROM win
+           |), dev AS (
+           |  SELECT *, list_sort(list_transform(arr, x -> abs(x - m))) AS l FROM med
+           |), mad AS (
+           |  SELECT *, (l[(len(l) + 1) // 2] + l[len(l) // 2 + 1]) / 2.0 AS md FROM dev
+           |)
+           |SELECT traj_id, event_id FROM mad
+           |WHERE NOT (nb = 5 AND na = 5 AND lat IS NOT NULL AND abs(lat - m) >= md * ${3.0 * Hampel.MadScale})""".stripMargin,
+      "q_ses_gap" ->
+        s"""$TrajSql, bnd AS (
+           |  SELECT traj_id, ts, event_id,
+           |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 7200000000 THEN 1 ELSE 0 END AS b
+           |  FROM traj WINDOW w AS (PARTITION BY traj_id ORDER BY ts, event_id)
+           |)
+           |SELECT traj_id, event_id,
+           |  sum(b) OVER (PARTITION BY traj_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           |FROM bnd""".stripMargin,
+      "q_ses_stats" ->
+        s"""$TrajSql, bnd AS (
+           |  SELECT traj_id, ts, event_id,
+           |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 7200000000 THEN 1 ELSE 0 END AS b
+           |  FROM traj WINDOW w AS (PARTITION BY traj_id ORDER BY ts, event_id)
+           |), ses AS (
+           |  SELECT traj_id, ts,
+           |  sum(b) OVER (PARTITION BY traj_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           |  FROM bnd
+           |)
+           |SELECT traj_id, session_id, count(*) AS n_points, min(ts) AS session_start, max(ts) AS session_end,
+           |(max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0 AS duration_sec
+           |FROM ses GROUP BY traj_id, session_id""".stripMargin,
+      "q_seg_days" ->
+        s"""$TrajSql SELECT traj_id, event_id,
+           |cast(floor(date_diff('day', min(cast(ts AS date)) OVER (PARTITION BY traj_id), cast(ts AS date)) / 7) AS bigint) AS seg_id
+           |FROM traj""".stripMargin,
+      "q_asof_orders" ->
+        """WITH ranked AS (
+          |  SELECT e.event_id, o.o_orderdate, o.o_orderkey, o.o_totalprice,
+          |         row_number() OVER (PARTITION BY e.event_id
+          |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rk
+          |  FROM events e JOIN orders o
+          |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+          |)
+          |SELECT e.event_id, r.o_orderdate AS asof_ts, r.o_orderkey, r.o_totalprice
+          |FROM events e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rk = 1""".stripMargin,
+      "q_ip_linear" ->
+        s"""$TrajSql, lagd AS (
+           |  SELECT traj_id, ts, lat, lon, lag(ts) OVER w AS pts,
+           |         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+           |         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS dt
+           |  FROM traj WINDOW w AS (PARTITION BY traj_id ORDER BY ts)
+           |)
+           |SELECT traj_id, ts, lat, lon FROM traj
+           |UNION ALL
+           |SELECT traj_id, make_timestamp(epoch_us(pts) + 43200000000) AS ts,
+           |       plat + (lat - plat) * (43200.0 / dt) AS lat,
+           |       plon + (lon - plon) * (43200.0 / dt) AS lon
+           |FROM lagd WHERE dt > 43200.0""".stripMargin,
+      "q_ip_kinematic" ->
+        s"""$TrajSql, v AS (
+           |  SELECT traj_id, ts, lat, lon, lag(ts) OVER w AS pts,
+           |         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+           |         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS dt,
+           |         (lat - lag(lat) OVER w) / ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0) AS vlat,
+           |         (lon - lag(lon) OVER w) / ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0) AS vlon
+           |  FROM traj WINDOW w AS (PARTITION BY traj_id ORDER BY ts)
+           |), v2 AS (
+           |  SELECT *, lag(vlat) OVER w AS pvlat, lag(vlon) OVER w AS pvlon
+           |  FROM v WINDOW w AS (PARTITION BY traj_id ORDER BY ts)
+           |), solved AS (
+           |  SELECT *,
+           |    dt * dt / 2.0 AS a11, dt * dt * dt / 6.0 AS a12, dt AS a21,
+           |    (dt * dt / 2.0) * (dt * dt / 2.0) - (dt * dt * dt / 6.0) * dt AS det,
+           |    (epoch_us(pts) + 43200000000) / 1000000.0 / 10000000000.0 AS td
+           |  FROM v2
+           |), co AS (
+           |  SELECT *,
+           |    ((lat - plat - pvlat * dt) * a11 - (vlat - pvlat) * a12) / det AS blat,
+           |    (a11 * (vlat - pvlat) - a21 * (lat - plat - pvlat * dt)) / det AS clat,
+           |    ((lon - plon - pvlon * dt) * a11 - (vlon - pvlon) * a12) / det AS blon,
+           |    (a11 * (vlon - pvlon) - a21 * (lon - plon - pvlon * dt)) / det AS clon
+           |  FROM solved
+           |)
+           |SELECT traj_id, ts, round(lat, 6) + 0.0 AS lat, round(lon, 6) + 0.0 AS lon FROM traj
+           |UNION ALL
+           |SELECT traj_id, make_timestamp(epoch_us(pts) + 43200000000) AS ts,
+           |  round(plat + pvlat * td + td * td * blat / 2.0 + td * td * td * clat / 6.0, 6) + 0.0 AS lat,
+           |  round(plon + pvlon * td + td * td * blon / 2.0 + td * td * td * clon / 6.0, 6) + 0.0 AS lon
+           |FROM co WHERE dt > 43200.0 AND pvlat IS NOT NULL""".stripMargin
+    )
+  }
+
+  /** Haversine SQL fragment mirroring Geo.haversine's operation order. */
+  private def havSql(lat1: String, lon1: String, lat2: String, lon2: String): String = {
+    val sdLat = s"sin((radians($lat2) - radians($lat1)) / 2)"
+    val sdLon = s"sin((radians($lon2) - radians($lon1)) / 2)"
+    val a = s"$sdLat * $sdLat + cos(radians($lat1)) * cos(radians($lat2)) * $sdLon * $sdLon"
+    s"2 * atan2(sqrt($a), sqrt(1.0 - ($a))) * 6371000.0"
+  }
 }

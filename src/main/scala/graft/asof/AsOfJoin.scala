@@ -1,0 +1,91 @@
+package graft.asof
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time / as-of merge (north rule; no PTRAIL analogue — it
+  * re-expresses the interpolation-backfill + feature-alignment idea,
+  * SURVEY.md §4.2#1).
+  *
+  * For every probe row (entity, ts) attach the MOST RECENT build-side row of
+  * the same entity with build.ts ≤ probe.ts (backward as-of; optional
+  * tolerance). Zero temporal leakage BY CONSTRUCTION: the cumulative window
+  * frame ends at the current row, so only rows with ts ≤ probe ts are ever
+  * visible — a future build row cannot affect a past probe.
+  *
+  * v1 formulation is pure built-ins: union-tag both sides, one
+  * Window.partitionBy(entity).orderBy(ts, side) with
+  * `last(value, ignoreNulls=true)` over the cumulative frame, filter back to
+  * probe rows. Cost = one hash exchange + one sort over |probe|+|build| —
+  * the same lower bound a dedicated sort-merge as-of exec pays when neither
+  * side is pre-bucketed. A custom SparkStrategy that zips co-bucketed sides
+  * without the union sort is the planned v2 (optimization only, same
+  * semantics).
+  *
+  * Tie rule: build rows sort BEFORE probe rows at equal ts (side 0 < 1), so
+  * an equal-timestamp build row is visible — matching DuckDB/pandas
+  * `merge_asof` backward semantics. Multiple build rows at the same
+  * (entity, ts): pass `buildOrder` tie-breaks to make "last" deterministic.
+  */
+object AsOfJoin {
+
+  /** @param probe       left side (entity, ts, …) — all columns kept
+    * @param build       right side (entity, ts, value columns)
+    * @param entity      join key column name (same name both sides)
+    * @param ts          event-time column name (same name both sides)
+    * @param valueCols   build columns to attach to each probe row
+    * @param toleranceSec match only if probe.ts − build.ts ≤ tolerance (< 0 = unbounded)
+    * @param buildOrder  extra build-side tie-break columns at equal ts
+    */
+  def backward(
+      probe: DataFrame,
+      build: DataFrame,
+      entity: String,
+      ts: String,
+      valueCols: Seq[String],
+      toleranceSec: Double = -1.0,
+      buildOrder: Seq[String] = Nil
+  ): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    require(!probeCols.exists(valueCols.contains), "value columns collide with probe columns")
+
+    // Matched build values travel as ONE non-null struct so that a build row
+    // with a genuinely-null value column still "matches" (last(ignoreNulls)
+    // must not skip past it to an older row).
+    val payload = struct(col(ts).as("_m_ts") +: valueCols.map(c => col(c).as(c)): _*)
+    val buildTagged = build.select(
+      Seq(col(entity), col(ts), lit(0).as("_side"), payload.as("_b")) ++
+        buildOrder.map(col): _*
+    )
+    val probeTagged = probe.select(
+      Seq(col(entity), col(ts), lit(1).as("_side"),
+        lit(null).cast(buildTagged.schema("_b").dataType).as("_b")) ++
+        buildOrder.map(c => lit(null).cast(build.schema(c).dataType).as(c)) ++
+        probeCols.filterNot(Set(entity, ts).contains).map(col): _*
+    )
+    val unioned = probeTagged.unionByName(buildTagged, allowMissingColumns = true)
+
+    val ord: Seq[Column] = col(ts) +: col("_side") +: buildOrder.map(col)
+    val w = Window
+      .partitionBy(col(entity))
+      .orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = unioned
+      .withColumn("_m", last(col("_b"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+
+    val mTs = col("_m").getField("_m_ts")
+    val inTol =
+      if (toleranceSec < 0) mTs.isNotNull
+      else mTs.isNotNull &&
+        (graft.core.Times.micros(col(ts)) - graft.core.Times.micros(mTs)) <= (toleranceSec * 1e6).toLong
+
+    filled.select(
+      probeCols.map(col) ++
+        Seq(when(inTol, mTs).as("asof_ts")) ++
+        valueCols.map(c => when(inTol, col("_m").getField(c)).as(c)): _*
+    )
+  }
+}
