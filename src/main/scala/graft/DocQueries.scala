@@ -1,0 +1,248 @@
+package graft
+
+import graft.ann.Similarity
+import graft.dedup.Dedup
+import graft.features.Kinematic
+import graft.functions.TextHash
+import graft.interp.Interpolation
+import graft.text.TextFeatures
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document/embedding-pipeline queries (dedup, similarity, text analysis)
+  * plus the stats pivot — merged into SparkEntry.queries. Oracle parity
+  * notes: all text hashing is exact integer arithmetic (TextHash); cosine
+  * uses a sequential fold mirrored by list_reduce in DuckDB (bit-identical);
+  * stats percentiles/means of pre-rounded features round at grid-safe
+  * digits (see SparkEntry's rounding-policy scaladoc).
+  */
+object DocQueries {
+
+  private def docs(sp: SparkSession, dir: String): DataFrame =
+    sp.read.parquet(s"$dir/documents.parquet")
+  private def embs(sp: SparkSession, dir: String): DataFrame =
+    sp.read.parquet(s"$dir/embeddings.parquet")
+
+  private def r(c: Column, d: Int): Column = round(c, d) + 0.0
+
+  // DuckDB fragments mirroring TextHash op-for-op
+  private val P = "2147483647"
+  private def sqlPoly(e: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), c -> ascii(c)::BIGINT)), (h, c) -> (h * 31 + c) % $P)"
+  private val sqlToks = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '')"
+  private def sqlWordHashes = s"list_transform($sqlToks, w -> ${sqlPoly("w")})"
+  /** distinct 3-gram shingle hashes from word-hash list `wh` */
+  private val sqlShingles =
+    s"CASE WHEN len(wh) >= 3 THEN list_distinct([(((wh[i] * 31 + wh[i+1]) % $P) * 31 + wh[i+2]) % $P for i in generate_series(1, len(wh) - 2)]) ELSE [] END"
+  /** minhash signature position j (0-based) over shingle list `sh` */
+  private def sqlMinhashAt(j: String): String =
+    s"coalesce(list_min(list_transform(sh, x -> (x * ((506952114 * ($j * 2 + 1)) % $P) % $P + (40503 * ($j + 1)) % $P) % $P)), $P)"
+  /** sequential-fold dot product of DOUBLE lists a, b */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, [$a[i]::DOUBLE * $b[i]::DOUBLE for i in generate_series(1, len($a))]), (x, y) -> x + y)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis ----
+    "q_txt_quality" -> ((sp, dir) =>
+      TextFeatures.withQuality(docs(sp, dir))
+        .select(col("doc_id"), col("n_tokens"), col("digit_ratio"), col("punct_ratio"),
+          col("upper_ratio"), col("space_ratio"), col("mean_token_len"), col("quality_score"))),
+    "q_txt_langid" -> ((sp, dir) =>
+      TextFeatures.withLangId(docs(sp, dir))
+        .select(col("doc_id"), col("hits_en"), col("hits_de"), col("hits_fr"), col("hits_es"), col("lang_pred"))),
+    "q_txt_fingerprint" -> ((sp, dir) =>
+      TextFeatures.withFingerprint(docs(sp, dir)).select(col("doc_id"), col("fingerprint"))),
+    "q_txt_min_shingle" -> ((sp, dir) =>
+      TextFeatures.withMinShingle(docs(sp, dir)).select(col("doc_id"), col("min_shingle"))),
+
+    // ---- dedup ----
+    "q_dedup_exact" -> ((sp, dir) => Dedup.exact(docs(sp, dir))),
+    "q_dedup_jaccard" -> ((sp, dir) => Dedup.ngramJaccardPairs(docs(sp, dir), k = 3, threshold = 0.05)),
+    "q_dedup_minhash_sig" -> ((sp, dir) =>
+      Dedup.minhashSignatures(docs(sp, dir), k = 3, numHashes = 16)
+        .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "sig")))),
+    "q_dedup_lsh_pairs" -> ((sp, dir) =>
+      Dedup.minhashLshPairs(docs(sp, dir), k = 3, numHashes = 16, bands = 4, estThreshold = 0.25)),
+    "q_dedup_simhash" -> ((sp, dir) => Dedup.simhash(docs(sp, dir))),
+
+    // ---- similarity ----
+    "q_sim_topk" -> ((sp, dir) => {
+      val e = embs(sp, dir)
+      Similarity.cosineTopK(
+        e.where(col("vec_id") < 30).select(col("vec_id").as("query_id"), col("embedding")),
+        e, k = 5
+      )
+    }),
+    // LSH path: Spark-internal hash planes ⇒ rows-only driver check (no oracle)
+    "q_sim_lsh_topk" -> ((sp, dir) => {
+      val e = embs(sp, dir)
+      Similarity.lshTopK(
+        e.where(col("vec_id") < 30).select(col("vec_id").as("query_id"), col("embedding")),
+        e, k = 5, planes = 6
+      )
+    }),
+
+    // ---- kinematic stats pivot (G2/G3) ----
+    "q_stat_wide" -> ((sp, dir) => {
+      val base = Kinematic.withKinematics(SparkEntry.traj(sp, dir), SparkEntry.S)
+      val kinDigits = Seq(
+        Kinematic.Distance -> 3, Kinematic.DistanceFromStart -> 3, Kinematic.Speed -> 3,
+        Kinematic.Acceleration -> 2, Kinematic.Jerk -> 2, Kinematic.Bearing -> 5,
+        Kinematic.BearingRate -> 4, Kinematic.RateOfBearingRate -> 3)
+      val rounded = kinDigits.foldLeft(base) { case (d, (c, dg)) => d.withColumn(c, r(col(c), dg)) }
+      // exact percentiles + stats (see oracle for the mirrored SQL)
+      // percentile digits = feature digits + 2: the linear interpolation of
+      // 10^-d-grid values at f ∈ multiples of 0.05 lies exactly on the
+      // 10^-(d+2) grid (grid POINTS, never half-cell boundaries)
+      val exprs = kinDigits.flatMap { case (f, dg) =>
+        Seq(
+          r(percentile(col(f), lit(0.1)), dg + 2).as(s"p10_$f"),
+          r(percentile(col(f), lit(0.25)), dg + 2).as(s"p25_$f"),
+          r(percentile(col(f), lit(0.5)), dg + 2).as(s"p50_$f"),
+          r(percentile(col(f), lit(0.75)), dg + 2).as(s"p75_$f"),
+          r(percentile(col(f), lit(0.9)), dg + 2).as(s"p90_$f"),
+          min(col(f)).as(s"min_$f"),
+          max(col(f)).as(s"max_$f"),
+          r(avg(col(f)), 4).as(s"mean_$f"),
+          r(stddev(col(f)), 4).as(s"std_$f")
+        )
+      }
+      rounded.groupBy(col("traj_id")).agg(exprs.head, exprs.tail: _*)
+    }),
+
+    // ---- remaining interpolation modes (rows-only oracle where noted) ----
+    "q_ip_cubic" -> ((sp, dir) =>
+      Interpolation.cubic(SparkEntry.traj(sp, dir).drop("event_id"), SparkEntry.S.copy(orderCols = Nil), 43200.0)
+        .select(col("traj_id"), col("ts"), r(col("lat"), 6).as("lat"), r(col("lon"), 6).as("lon"))),
+    "q_ip_random_walk" -> ((sp, dir) =>
+      Interpolation.randomWalk(SparkEntry.traj(sp, dir).drop("event_id"), SparkEntry.S.copy(orderCols = Nil), 43200.0)
+        .groupBy(col("traj_id")).agg(count(lit(1)).as("n_points")))
+  )
+
+  val oracleSql: Map[String, String] = {
+    val kinDigits = Seq(
+      ("dist", Kinematic.Distance, 3), ("dist_start", Kinematic.DistanceFromStart, 3),
+      ("speed", Kinematic.Speed, 3), ("acc", Kinematic.Acceleration, 2),
+      ("jerk", Kinematic.Jerk, 2), ("brg", Kinematic.Bearing, 5),
+      ("brate", Kinematic.BearingRate, 4), ("robr_pre", Kinematic.RateOfBearingRate, 3))
+    val statSelect = kinDigits.flatMap { case (e, f, d) =>
+      val re = s"round($e, $d) + 0.0"
+      val dq = d + 2
+      Seq(
+        s"""round(quantile_cont($re, 0.1), $dq) + 0.0 AS "p10_$f"""",
+        s"""round(quantile_cont($re, 0.25), $dq) + 0.0 AS "p25_$f"""",
+        s"""round(quantile_cont($re, 0.5), $dq) + 0.0 AS "p50_$f"""",
+        s"""round(quantile_cont($re, 0.75), $dq) + 0.0 AS "p75_$f"""",
+        s"""round(quantile_cont($re, 0.9), $dq) + 0.0 AS "p90_$f"""",
+        s"""min($re) AS "min_$f"""",
+        s"""max($re) AS "max_$f"""",
+        s"""round(avg($re), 4) + 0.0 AS "mean_$f"""",
+        s"""round(stddev($re), 4) + 0.0 AS "std_$f""""
+      )
+    }.mkString(",\n")
+
+    Map(
+      "q_txt_quality" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, text, length(text)::DOUBLE AS lc, $sqlToks AS toks FROM documents
+           |), q AS (
+           |  SELECT doc_id, len(toks) AS n_tokens,
+           |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / lc AS digit_ratio,
+           |    (length(text) - length(regexp_replace(text, '[^0-9A-Za-z\\s]', '', 'g')))::DOUBLE / lc AS punct_ratio,
+           |    (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE / lc AS upper_ratio,
+           |    (length(text) - length(regexp_replace(text, '\\s', '', 'g')))::DOUBLE / lc AS space_ratio,
+           |    CASE WHEN len(toks) > 0 THEN
+           |      list_reduce(list_prepend(0::BIGINT, list_transform(toks, w -> length(w)::BIGINT)), (a, b) -> a + b)::DOUBLE / len(toks)
+           |    END AS mean_token_len
+           |  FROM t
+           |)
+           |SELECT doc_id, n_tokens, digit_ratio, punct_ratio, upper_ratio, space_ratio, mean_token_len,
+           |  greatest(0.0, 1.0 - digit_ratio * 2.0 - punct_ratio * 2.0 - abs(mean_token_len - 5.5) / 10.0) AS quality_score
+           |FROM q""".stripMargin,
+      "q_txt_langid" -> {
+        val profiles = TextFeatures.StopwordProfiles.filter(_._2.nonEmpty)
+        val hitCols = profiles.map { case (l, ws) =>
+          val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter(toks, w -> list_contains($arr, lower(w)))) AS hits_$l"
+        }.mkString(", ")
+        // sequential argmax fold, ties keep the earlier language
+        val fold = profiles.map(_._1).foldLeft(("'und'", "0")) { case ((bl, bs), l) =>
+          (s"CASE WHEN hits_$l > $bs THEN '$l' ELSE $bl END", s"CASE WHEN hits_$l > $bs THEN hits_$l ELSE $bs END")
+        }
+        s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+           |h AS (SELECT doc_id, $hitCols FROM t)
+           |SELECT doc_id, hits_en, hits_de, hits_fr, hits_es, ${fold._1} AS lang_pred FROM h""".stripMargin
+      },
+      "q_txt_fingerprint" ->
+        s"""SELECT doc_id, ${sqlPoly("text")} AS fingerprint FROM documents""",
+      "q_txt_min_shingle" ->
+        s"""WITH t AS (SELECT doc_id, $sqlWordHashes AS wh FROM documents),
+           |s AS (SELECT doc_id, $sqlShingles AS sh FROM t)
+           |SELECT doc_id, list_min(sh) AS min_shingle FROM s""".stripMargin,
+      "q_dedup_exact" ->
+        """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents)
+          |SELECT content_hash, doc_id,
+          |  doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS keep
+          |FROM h""".stripMargin,
+      "q_dedup_jaccard" ->
+        s"""WITH t AS (SELECT doc_id, $sqlWordHashes AS wh FROM documents),
+           |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+           |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS x FROM s),
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c, any_value(a.n) AS na, any_value(b.n) AS nb
+           |  FROM inv a JOIN inv b ON a.x = b.x AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2
+           |)
+           |SELECT id_a, id_b, c::DOUBLE / (na + nb - c)::DOUBLE AS jaccard
+           |FROM pairs WHERE c::DOUBLE / (na + nb - c)::DOUBLE >= 0.05""".stripMargin,
+      "q_dedup_minhash_sig" ->
+        s"""WITH t AS (SELECT doc_id, $sqlWordHashes AS wh FROM documents),
+           |s AS (SELECT doc_id, $sqlShingles AS sh FROM t)
+           |SELECT doc_id, i, ${sqlMinhashAt("i")} AS sig
+           |FROM s, unnest(generate_series(0, 15)) AS t2(i)""".stripMargin,
+      "q_dedup_lsh_pairs" ->
+        s"""WITH t AS (SELECT doc_id, $sqlWordHashes AS wh FROM documents),
+           |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+           |sigs AS (SELECT doc_id, [${sqlMinhashAt("i")} for i in generate_series(0, 15)] AS sig FROM s),
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+           |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+           |  WHERE a.sig[1:4] = b.sig[1:4] OR a.sig[5:8] = b.sig[5:8]
+           |     OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16]
+           |)
+           |SELECT id_a, id_b,
+           |  len(list_filter([sa[i] = sb[i] for i in generate_series(1, 16)], x -> x))::DOUBLE / 16 AS est_jaccard
+           |FROM pairs
+           |WHERE len(list_filter([sa[i] = sb[i] for i in generate_series(1, 16)], x -> x))::DOUBLE / 16 >= 0.25""".stripMargin,
+      "q_dedup_simhash" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($sqlWordHashes) AS h1 FROM documents),
+           |wide AS (SELECT doc_id, h1 * 2147483648 + ((h1 * 506952114) % $P + 97531) % $P AS h FROM tok),
+           |bits AS (
+           |  SELECT doc_id, b, CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS vote
+           |  FROM wide, unnest(generate_series(0, 61)) AS t(b)
+           |),
+           |votes AS (SELECT doc_id, b, sum(vote) AS s FROM bits GROUP BY 1, 2)
+           |SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
+           |FROM votes GROUP BY doc_id""".stripMargin,
+      "q_sim_topk" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 30),
+           |c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+           |scored AS (
+           |  SELECT q.query_id, c.vec_id,
+           |    round(${sqlDot("qv", "cv")} / (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("cv", "cv")})), 6) + 0.0 AS cosine
+           |  FROM c, q WHERE q.query_id != c.vec_id
+           |), ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM scored
+           |)
+           |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
+      "q_stat_wide" ->
+        s"""${SparkEntry.KinSql}
+           |SELECT traj_id,
+           |$statSelect
+           |FROM kin GROUP BY traj_id""".stripMargin
+      // q_sim_lsh_topk, q_ip_cubic, q_ip_random_walk: rows-only (Spark-internal
+      // hashing / scipy-spline / seeded RNG — no portable SQL oracle)
+    )
+  }
+}

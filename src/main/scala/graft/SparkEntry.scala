@@ -132,7 +132,7 @@ object SparkEntry {
     (Kinematic.RateOfBearingRate, "robr_pre", 3)
   )
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = DocQueries.queries ++ Map(
     // K11 — the fused 8-feature vector (flagship correctness query)
     "q_kin_features" -> ((sp, dir) => {
       val base = kin(sp, dir)
@@ -277,6 +277,55 @@ object SparkEntry {
         .select(col("event_id"), col("asof_ts"), col("o_orderkey"), col("o_totalprice"))
     }),
 
+    // C1 — visited_location: layer = user 7's distinct points
+    "q_ctx_visited" -> ((sp, dir) => {
+      val t = traj(sp, dir)
+      val layer = t.where(col("traj_id") === "7").select(col("lat"), col("lon"))
+        .withColumn("loc_name", lit("den"))
+      graft.features.Contextual.visitedLocation(t, S, layer, "den", "loc_name")
+        .select(col("traj_id"), col("event_id"), col("Visited_den"))
+    }),
+    // C2 — visited_poi: surrounding rows = user 3's points with a synthetic
+    // dist-to-POI channel (exact arithmetic)
+    "q_ctx_visited_poi" -> ((sp, dir) => {
+      val t = traj(sp, dir)
+      val sur = t.where(col("traj_id") === "3")
+        .select(col("lat"), col("lon"), (col("lat") * 1000.0).as("dist_poi"))
+      graft.features.Contextual.visitedPoi(t, S, sur, "dist_poi", 5000.0)
+        .select(col("traj_id"), col("event_id"), col("Nearby_POI"))
+    }),
+    // C3 — point-in-polygon clip (ray casting as a column expression)
+    "q_ctx_polygon" -> ((sp, dir) =>
+      graft.features.Contextual
+        .insidePolygon(traj(sp, dir), S, Seq((38.7, 115.6), (39.4, 115.9), (39.3, 116.45), (38.8, 116.3)))
+        .select(col("traj_id"), col("event_id"))),
+    // C4 — intersect two clipped trajectories on exact shared coordinates
+    "q_ctx_intersect" -> ((sp, dir) => {
+      val t = traj(sp, dir)
+      val poly = Seq((38.5, 115.5), (39.5, 115.5), (39.5, 116.5), (38.5, 116.5))
+      graft.features.Contextual.intersectInsidePolygon(
+        t.where(col("traj_id") === "7"), t.where(col("traj_id") === "3"), S, poly)
+    }),
+    // S4 — NSEW degree-string conversion (strings built from exact ints)
+    "q_cnv_directions" -> ((sp, dir) => {
+      val src = events(sp, dir).select(
+        col("event_id"),
+        concat((col("event_id") % 90).cast("string"), lit("."), (col("event_id") % 100).cast("string"),
+          when(col("event_id") % 2 === 0, "N").otherwise("S")).as("lat_s"),
+        concat((col("event_id") % 270).cast("string"), lit("."), (col("event_id") % 100).cast("string"),
+          when(col("event_id") % 3 === 0, "E").otherwise("W")).as("lon_s")
+      )
+      src.select(
+        col("event_id"),
+        graft.features.Conversions.parseLat(col("lat_s")).as("lat"),
+        graft.features.Conversions.parseLon(col("lon_s")).as("lon")
+      )
+    }),
+    // stay-point sessionization (north rule) — exact haversine on rounded
+    // distance predicate for engine-exact run boundaries
+    "q_ses_staypoint" -> ((sp, dir) =>
+      Sessionize.byStayPoint(traj(sp, dir), S, distM = 50000.0, minStopSeconds = 3600.0)
+        .select(col("traj_id"), col("event_id"), col("is_stop"))),
     // I1 — linear interpolation (all-exact arithmetic)
     "q_ip_linear" -> ((sp, dir) =>
       Interpolation.linear(traj(sp, dir).drop("event_id"), S.copy(orderCols = Nil), 43200.0)),
@@ -290,7 +339,7 @@ object SparkEntry {
     val kinFeat = kinOut
       .map { case (c, e, d) => s"${rs(e, d)} AS \"$c\"" }
       .mkString(", ")
-    Map(
+    DocQueries.oracleSql ++ Map(
       "q_kin_features" ->
         s"""$KinSql SELECT traj_id, event_id, $kinFeat FROM kin""",
       "q_kin_distance" ->
@@ -411,6 +460,60 @@ object SparkEntry {
           |)
           |SELECT e.event_id, r.o_orderdate AS asof_ts, r.o_orderkey, r.o_totalprice
           |FROM events e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rk = 1""".stripMargin,
+      "q_ctx_visited" ->
+        s"""$TrajSql, layer AS (SELECT DISTINCT lat, lon FROM traj WHERE traj_id = '7')
+           |SELECT t.traj_id, t.event_id,
+           |  CASE WHEN l.lat IS NOT NULL THEN 1 ELSE 0 END AS "Visited_den"
+           |FROM traj t LEFT JOIN layer l ON t.lat = l.lat AND t.lon = l.lon""".stripMargin,
+      "q_ctx_visited_poi" ->
+        s"""$TrajSql, sur AS (SELECT lat AS slat, lon AS slon, lat * 1000.0 AS sdist FROM traj WHERE traj_id = '3')
+           |SELECT t.traj_id, t.event_id,
+           |  EXISTS(SELECT 1 FROM sur s WHERE abs(${havSql("t.lat", "t.lon", "s.slat", "s.slon")} - s.sdist) <= 5000.0) AS "Nearby_POI"
+           |FROM traj t""".stripMargin,
+      "q_ctx_polygon" ->
+        s"""$TrajSql SELECT traj_id, event_id FROM traj
+           |WHERE ${polySql(Seq((38.7, 115.6), (39.4, 115.9), (39.3, 116.45), (38.8, 116.3)))}""".stripMargin,
+      "q_ctx_intersect" ->
+        s"""$TrajSql, clipped AS (SELECT * FROM traj WHERE ${polySql(Seq((38.5, 115.5), (39.5, 115.5), (39.5, 116.5), (38.5, 116.5)))}),
+           |a AS (SELECT traj_id AS traj_id_1, ts AS ts_1, lat, lon FROM clipped WHERE traj_id = '7'),
+           |b AS (SELECT traj_id AS traj_id_2, ts AS ts_2, lat, lon FROM clipped WHERE traj_id = '3')
+           |SELECT traj_id_1, traj_id_2, ts_1, ts_2, a.lat, a.lon
+           |FROM a JOIN b USING (lat, lon)""".stripMargin,
+      "q_cnv_directions" ->
+        """WITH src AS (
+          |  SELECT event_id,
+          |    (event_id % 90)::VARCHAR || '.' || (event_id % 100)::VARCHAR ||
+          |      (CASE WHEN event_id % 2 = 0 THEN 'N' ELSE 'S' END) AS lat_s,
+          |    (event_id % 270)::VARCHAR || '.' || (event_id % 100)::VARCHAR ||
+          |      (CASE WHEN event_id % 3 = 0 THEN 'E' ELSE 'W' END) AS lon_s
+          |  FROM events
+          |)
+          |SELECT event_id,
+          |  CASE WHEN upper(trim(lat_s)) LIKE '%N'
+          |       THEN substring(trim(lat_s), 1, length(trim(lat_s)) - 1)::DOUBLE
+          |       ELSE substring(trim(lat_s), 1, length(trim(lat_s)) - 1)::DOUBLE * -1 END AS lat,
+          |  CASE WHEN upper(trim(lon_s)) LIKE '%E'
+          |       THEN substring(trim(lon_s), 1, length(trim(lon_s)) - 1)::DOUBLE
+          |       ELSE CASE WHEN substring(trim(lon_s), 1, length(trim(lon_s)) - 1)::DOUBLE * -1 < -180.0
+          |                 THEN substring(trim(lon_s), 1, length(trim(lon_s)) - 1)::DOUBLE * -1 + 360
+          |                 ELSE substring(trim(lon_s), 1, length(trim(lon_s)) - 1)::DOUBLE * -1 END END AS lon
+          |FROM src""".stripMargin,
+      "q_ses_staypoint" ->
+        s"""$TrajSql, mv AS (
+           |  SELECT traj_id, ts, event_id,
+           |    coalesce(${havSql("lag(lat) OVER w", "lag(lon) OVER w", "lat", "lon")} > 50000.0, TRUE) AS moving
+           |  FROM traj WINDOW w AS (PARTITION BY traj_id ORDER BY ts, event_id)
+           |), bnd AS (
+           |  SELECT *, CASE WHEN moving != coalesce(lag(moving) OVER w, NOT moving) THEN 1 ELSE 0 END AS b
+           |  FROM mv WINDOW w AS (PARTITION BY traj_id ORDER BY ts, event_id)
+           |), runs AS (
+           |  SELECT *, sum(b) OVER (PARTITION BY traj_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+           |  FROM bnd
+           |), spans AS (
+           |  SELECT *, (max(epoch_us(ts)) OVER r - min(epoch_us(ts)) OVER r) / 1000000.0 AS run_sec
+           |  FROM runs WINDOW r AS (PARTITION BY traj_id, run_id)
+           |)
+           |SELECT traj_id, event_id, (NOT moving) AND run_sec >= 3600.0 AS is_stop FROM spans""".stripMargin,
       "q_ip_linear" ->
         s"""$TrajSql, lagd AS (
            |  SELECT traj_id, ts, lat, lon, lag(ts) OVER w AS pts,
@@ -456,6 +559,24 @@ object SparkEntry {
            |  round(plon + pvlon * td + td * td * blon / 2.0 + td * td * td * clon / 6.0, 6) + 0.0 AS lon
            |FROM co WHERE dt > 43200.0 AND pvlat IS NOT NULL""".stripMargin
     )
+  }
+
+  /** Render a Scala double as a DuckDB DOUBLE literal (Double.toString
+    * round-trips; the ::DOUBLE cast defeats DuckDB's DECIMAL literal
+    * inference so arithmetic stays IEEE like Spark's). */
+  private def dl(x: Double): String = s"(${x}::DOUBLE)"
+
+  /** Ray-casting SQL mirroring Contextual.pointInPolygon op-for-op,
+    * with per-edge constants computed HERE (same doubles as the Spark
+    * plan's literals). */
+  private def polySql(polygon: Seq[(Double, Double)]): String = {
+    val n = polygon.length
+    val terms = (0 until n).map { i =>
+      val (yi, xi) = polygon(i)
+      val (yj, xj) = polygon((i + 1) % n)
+      s"(CASE WHEN ((${dl(yi)} > lat) != (${dl(yj)} > lat)) AND lon < ${dl(xj - xi)} * (lat - ${dl(yi)}) / ${dl(yj - yi)} + ${dl(xi)} THEN 1 ELSE 0 END)"
+    }
+    s"(${terms.mkString(" + ")}) % 2 = 1"
   }
 
   /** Haversine SQL fragment mirroring Geo.haversine's operation order. */

@@ -1,0 +1,167 @@
+package graft.dedup
+
+import graft.functions.TextHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines, Spark-first:
+  *
+  *  - exact: one hash-aggregate on md5(text) — scan-speed at 100 TB
+  *  - n-gram Jaccard: inverted-index self-join on shingle hashes (pairs
+  *    share ≥1 shingle) — the classic scalable pattern; no O(n²) cross join
+  *  - MinHash + LSH: signatures → band buckets → candidates only from
+  *    bucket collisions; estimate = matching-signature fraction
+  *  - SimHash: 62-bit fingerprint via per-bit majority vote
+  *
+  * All hashes are engine-portable integer arithmetic (TextHash) so the
+  * DuckDB oracle reproduces them bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup on content hash; keeps the smallest id per group and
+    * flags the rest. Output: (id, content_hash, keep). */
+  def exact(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val hashed = df.select(col(id), md5(col(text)).as("content_hash"))
+    val keeper = hashed.groupBy(col("content_hash")).agg(min(col(id)).as("_keep_id"))
+    hashed
+      .join(keeper, Seq("content_hash"))
+      .withColumn("keep", col(id) === col("_keep_id"))
+      .drop("_keep_id")
+  }
+
+  /** Per-doc distinct k-word shingle hash set. */
+  def shingles(df: DataFrame, k: Int = 3, id: String = "doc_id", text: String = "text"): DataFrame =
+    df.select(
+      col(id),
+      TextHash.shingleHashes(TextHash.tokenHashes(col(text)), k).as("shingles")
+    ).withColumn("n_shingles", size(col("shingles")))
+
+  /** True n-gram Jaccard for all pairs sharing ≥1 shingle, thresholded.
+    * |A∩B| from the inverted-index join; J = c / (|A|+|B|−c).
+    * Output: (id_a, id_b, jaccard) with id_a < id_b. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      k: Int = 3,
+      threshold: Double = 0.5,
+      id: String = "doc_id",
+      text: String = "text",
+      maxDf: Int = Int.MaxValue
+  ): DataFrame = {
+    val sh = shingles(df, k, id, text)
+    val inv0 = sh.select(col(id).as("_id"), col("n_shingles").as("_n"), explode(col("shingles")).as("sh"))
+    // Scale valve: a shingle shared by f docs contributes f² join rows; at
+    // 100 TB hot shingles (boilerplate) explode the join. Capping document
+    // frequency (classic near-dup practice) bounds the blowup; the default
+    // keeps exact semantics.
+    val inv =
+      if (maxDf == Int.MaxValue) inv0
+      else {
+        val dfCounts = inv0.groupBy(col("sh")).agg(count(lit(1)).as("_df")).where(col("_df") <= maxDf)
+        inv0.join(dfCounts.select(col("sh")), Seq("sh"))
+      }
+    val a = inv.select(col("_id").as("id_a"), col("_n").as("na"), col("sh"))
+    val b = inv.select(col("_id").as("id_b"), col("_n").as("nb"), col("sh"))
+    a.join(b, Seq("sh"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("c"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures (numHashes affine permutations over the shingle
+    * set). Output: (id, sig array<long>). */
+  def minhashSignatures(
+      df: DataFrame,
+      k: Int = 3,
+      numHashes: Int = 16,
+      id: String = "doc_id",
+      text: String = "text"
+  ): DataFrame =
+    shingles(df, k, id, text).select(col(id), TextHash.minhash(col("shingles"), numHashes).as("sig"))
+
+  /** MinHash-LSH candidate pairs: split the signature into `bands` bands of
+    * numHashes/bands rows; docs sharing any band bucket become candidates;
+    * similarity estimate = fraction of matching signature positions.
+    * At cluster scale the band explode keys the ONE shuffle; no cross join
+    * ever materializes. */
+  def minhashLshPairs(
+      df: DataFrame,
+      k: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      estThreshold: Double = 0.5,
+      id: String = "doc_id",
+      text: String = "text"
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minhashSignatures(df, k, numHashes, id, text).cache()
+    // Candidates as NARROW (id, id) pairs: the distinct dedups 2 longs, not
+    // 2×16-long signature arrays — the wide variant was 10× slower.
+    val banded = sigs.select(
+      col(id).as("_id"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), b => slice(col("sig"), b * r + 1, lit(r)))
+      ).as(Seq("band", "bucket"))
+    )
+    val a = banded.select(col("_id").as("id_a"), col("band"), col("bucket"))
+    val bdf = banded.select(col("_id").as("id_b"), col("band"), col("bucket"))
+    val cand = a
+      .join(bdf, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col(id).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col(id).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn(
+        "est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes
+      )
+      .where(col("est_jaccard") >= estThreshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** 62-bit SimHash fingerprint: token t contributes ±1 to each bit b
+    * according to bit b of its 62-bit hash (two independent 31-bit affine
+    * poly hashes); fingerprint bit = majority sign. Duplicate tokens weight
+    * naturally by frequency. Output: (id, simhash long). */
+  def simhash(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val th = df.select(col(id), explode(TextHash.tokenHashes(col(text))).as("h1"))
+    // widen to 62 bits: h = h1·2^31 + h2 where h2 = affine re-hash of h1
+    val h2 = (col("h1") * (2654435761L % TextHash.P) % TextHash.P + 97531L) % TextHash.P
+    val wide = th.withColumn("h", col("h1") * 2147483648L + h2)
+    val voteArr = array((0 until TextHash.simhashBits).map { b =>
+      when(col("h").bitwiseAND(1L << b) =!= 0L, 1).otherwise(-1)
+    }: _*)
+    val bits = wide.select(col(id), posexplode(voteArr).as(Seq("bit", "vote")))
+    bits
+      .groupBy(col(id), col("bit"))
+      .agg(sum(col("vote")).as("s"))
+      .groupBy(col(id))
+      .agg(
+        sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L)).as("simhash")
+      )
+  }
+
+  /** Embedding cosine near-duplicate pairs above a threshold, via the
+    * brute-force pair join (see graft.ann.Similarity for the LSH-bucketed
+    * scale path). */
+  def embeddingNearDupPairs(
+      emb: DataFrame,
+      threshold: Double,
+      id: String = "vec_id",
+      vec: String = "embedding"
+  ): DataFrame = {
+    val a = emb.select(col(id).as("id_a"), col(vec).as("va"))
+    val b = emb.select(col(id).as("id_b"), col(vec).as("vb"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", graft.ann.Similarity.cosine(col("va"), col("vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

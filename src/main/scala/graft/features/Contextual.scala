@@ -1,0 +1,117 @@
+package graft.features
+
+import graft.core.TrajSchema
+import graft.kernels.Geo
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Contextual / spatial-join features
+  * (ptrail/features/contextual_features.py). The reference routes these
+  * through geopandas overlays of POINT layers, which degenerate to exact
+  * coordinate joins — here they are broadcast joins / broadcast
+  * nested-loop predicates, the strategies Catalyst already has.
+  */
+object Contextual {
+
+  /** C1 — visited_location (contextual_features.py:33-124): point-in-set
+    * intersection of trajectory points against a filtered geo layer via
+    * exact (lat, lon) equality → 0/1 column `Visited_{name}`. Layer is
+    * broadcast (small dim side). */
+  def visitedLocation(
+      df: DataFrame,
+      s: TrajSchema,
+      geoLayer: DataFrame,
+      locationName: String,
+      locationCol: String
+  ): DataFrame = {
+    val layer = geoLayer
+      .where(col(locationCol) === locationName)
+      .select(col(s.lat), col(s.lon))
+      .distinct()
+      .withColumn("_hit", lit(1))
+    df.join(broadcast(layer), Seq(s.lat, s.lon), "left")
+      .withColumn(s"Visited_$locationName", coalesce(col("_hit"), lit(0)))
+      .drop("_hit")
+  }
+
+  /** C2 — visited_poi (contextual_features.py:126-184): point p is near a
+    * POI iff ∃ surrounding-row r with |haversine(p, r) − r.distToPOI| ≤
+    * threshold. O(n·m) theta-predicate → BroadcastNestedLoopJoin
+    * (left-semi) + indicator. */
+  def visitedPoi(
+      df: DataFrame,
+      s: TrajSchema,
+      surrounding: DataFrame,
+      distColumn: String,
+      thresholdM: Double
+  ): DataFrame = {
+    val sur = broadcast(
+      surrounding.select(col(s.lat).as("_slat"), col(s.lon).as("_slon"), col(distColumn).as("_sdist"))
+    )
+    val pred = abs(Geo.haversine(s.latCol, s.lonCol, col("_slat"), col("_slon")) - col("_sdist")) <= thresholdM
+    val hits = df.join(sur, pred, "left_semi").withColumn("Nearby_POI", lit(true))
+    df.join(
+      hits.select((df.columns.map(col) :+ col("Nearby_POI")): _*),
+      df.columns.toSeq,
+      "left"
+    ).withColumn("Nearby_POI", coalesce(col("Nearby_POI"), lit(false)))
+  }
+
+  /** Ray-casting point-in-polygon as a pure Column expression (crossing
+    * number over the edge list). `polygon` is a Seq of (lat, lon) vertices
+    * (closed implicitly). Broadcast as literals — zero shuffle. */
+  def pointInPolygon(lat: Column, lon: Column, polygon: Seq[(Double, Double)]): Column = {
+    val n = polygon.length
+    val crossings = (0 until n).map { i =>
+      val (yi, xi) = polygon(i)
+      val (yj, xj) = polygon((i + 1) % n)
+      val cond = (lit(yi) > lat) =!= (lit(yj) > lat)
+      val xCross = lit(xj - xi) * (lat - yi) / lit(yj - yi) + xi
+      when(cond && lon < xCross, 1).otherwise(0)
+    }
+    pmod(crossings.reduce(_ + _), lit(2)) === 1
+  }
+
+  /** C3 — trajectories_inside_polygon (contextual_features.py:186-228):
+    * keep points strictly inside the polygon. */
+  def insidePolygon(df: DataFrame, s: TrajSchema, polygon: Seq[(Double, Double)]): DataFrame =
+    df.where(pointInPolygon(s.latCol, s.lonCol, polygon))
+
+  /** C4 — traj_intersect_inside_polygon (contextual_features.py:230-301):
+    * clip two trajectories to the polygon, intersect on exact shared
+    * coordinates → paired rows. */
+  def intersectInsidePolygon(
+      df1: DataFrame,
+      df2: DataFrame,
+      s: TrajSchema,
+      polygon: Seq[(Double, Double)]
+  ): DataFrame = {
+    val a = insidePolygon(df1, s, polygon)
+      .select(col(s.id).as("traj_id_1"), col(s.ts).as("ts_1"), s.latCol, s.lonCol)
+    val b = insidePolygon(df2, s, polygon)
+      .select(col(s.id).as("traj_id_2"), col(s.ts).as("ts_2"), s.latCol, s.lonCol)
+    a.join(b, Seq(s.lat, s.lon), "inner")
+      .select(col("traj_id_1"), col("traj_id_2"), col("ts_1"), col("ts_2"), s.latCol, s.lonCol)
+  }
+}
+
+/** S4 — NSEW degree-string parsing (ptrail/utilities/conversions.py:12-38):
+  * lat "12.3N" → +12.3, else negated; lon "45.6E" → +45.6, else negated,
+  * wrapping by +360 when the negation falls below −180. */
+object Conversions {
+  def parseLat(c: Column): Column = {
+    val num = trim(c).substr(lit(1), length(trim(c)) - 1).cast("double")
+    when(upper(trim(c)).endsWith("N"), num).otherwise(num * -1)
+  }
+
+  def parseLon(c: Column): Column = {
+    val num = trim(c).substr(lit(1), length(trim(c)) - 1).cast("double")
+    val neg = num * -1
+    when(upper(trim(c)).endsWith("E"), num)
+      .otherwise(when(neg < -180.0, neg + 360).otherwise(neg))
+  }
+
+  def convertDirectionsToDegreeLatLon(df: DataFrame, latCol: String, lonCol: String): DataFrame =
+    df.withColumn(latCol, parseLat(col(latCol)))
+      .withColumn(lonCol, parseLon(col(lonCol)))
+}

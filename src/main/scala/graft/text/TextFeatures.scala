@@ -1,0 +1,88 @@
+package graft.text
+
+import graft.functions.TextHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token counting, quality
+  * scoring, language ID, document fingerprinting. All pure column
+  * expressions (codegen'd, shuffle-free) — at 100 TB these run at scan
+  * speed with full column pruning.
+  */
+object TextFeatures {
+
+  /** Count of pattern occurrences via length-difference (engine-portable —
+    * identical in the DuckDB oracle, no regexp_count dependency). */
+  private def countMatches(text: Column, pattern: String): Column =
+    length(text) - length(regexp_replace(text, pattern, ""))
+
+  /** Whitespace token count (empties dropped). */
+  def withTokenCount(df: DataFrame, text: String = "text"): DataFrame =
+    df.withColumn("n_tokens", size(TextHash.tokens(col(text))))
+
+  /** Quality features: exact ratios of character classes + mean token
+    * length + a composite score. All divisions are single correctly-rounded
+    * IEEE ops on integers → bit-identical across engines. */
+  def withQuality(df: DataFrame, text: String = "text"): DataFrame = {
+    val t = col(text)
+    val len = length(t).cast("double")
+    val toks = TextHash.tokens(t)
+    df.withColumn("n_tokens", size(toks))
+      .withColumn("digit_ratio", countMatches(t, "[0-9]").cast("double") / len)
+      .withColumn("punct_ratio", countMatches(t, "[^0-9A-Za-z\\s]").cast("double") / len)
+      .withColumn("upper_ratio", countMatches(t, "[A-Z]").cast("double") / len)
+      .withColumn("space_ratio", countMatches(t, "\\s").cast("double") / len)
+      .withColumn(
+        "mean_token_len",
+        when(size(toks) > 0, aggregate(toks, lit(0L), (a, w) => a + length(w)).cast("double") / size(toks))
+      )
+      .withColumn(
+        "quality_score",
+        // heuristic in [0,1]: penalize digit/punct-heavy, reward 3..8-char tokens
+        greatest(
+          lit(0.0),
+          lit(1.0) - col("digit_ratio") * 2.0 - col("punct_ratio") * 2.0 -
+            abs(col("mean_token_len") - 5.5) / 10.0
+        )
+      )
+  }
+
+  /** Stopword-hit counts per language; deterministic n-gram-free heuristic
+    * (the container has no langid model — this is the classic
+    * stopword-profile scorer). Ties break by the fixed language order. */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"),
+    "zh" -> Seq() // no-latin profile: scored 0, selected only if nothing hits
+  )
+
+  def langScore(toks: Column, words: Seq[String]): Column =
+    if (words.isEmpty) lit(0)
+    else size(filter(toks, w => lower(w).isin(words.map(lit(_)): _*)))
+
+  /** Adds per-language hit counts + `lang_pred` (argmax, fixed-order ties,
+    * "und" = undetermined when nothing matches). */
+  def withLangId(df: DataFrame, text: String = "text"): DataFrame = {
+    val toks = TextHash.tokens(col(text))
+    val scored = StopwordProfiles.foldLeft(df.withColumn("_toks", toks)) { case (acc, (l, ws)) =>
+      acc.withColumn(s"hits_$l", langScore(col("_toks"), ws))
+    }
+    val best = StopwordProfiles.map(_._1).foldLeft((lit("und"), lit(0))) { case ((bl, bs), l) =>
+      val better = col(s"hits_$l") > bs
+      (when(better, lit(l)).otherwise(bl), when(better, col(s"hits_$l")).otherwise(bs))
+    }
+    scored.withColumn("lang_pred", best._1).drop("_toks")
+  }
+
+  /** Document fingerprint: 31-base polynomial rolling hash mod 2^31−1 over
+    * the raw characters — stable, engine-portable, O(len). */
+  def withFingerprint(df: DataFrame, text: String = "text"): DataFrame =
+    df.withColumn("fingerprint", TextHash.polyHash(col(text)))
+
+  /** Winnowing-style k-gram fingerprint set: min shingle hash per document
+    * (1-permutation minhash) — cheap near-dup prefilter. */
+  def withMinShingle(df: DataFrame, text: String = "text", k: Int = 3): DataFrame =
+    df.withColumn("min_shingle", array_min(TextHash.shingleHashes(TextHash.tokenHashes(col(text)), k)))
+}
