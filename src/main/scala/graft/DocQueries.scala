@@ -1,10 +1,12 @@
 package graft
 
 import graft.ann.Similarity
+import graft.core.TokenAdapter
 import graft.dedup.Dedup
 import graft.features.Kinematic
 import graft.functions.TextHash
 import graft.interp.Interpolation
+import graft.multimodal.Multimodal
 import graft.text.TextFeatures
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -24,6 +26,38 @@ object DocQueries {
     sp.read.parquet(s"$dir/embeddings.parquet")
 
   private def r(c: Column, d: Int): Column = round(c, d) + 0.0
+
+  /** Deterministic media table derived from `documents`: payload = UTF-8
+    * bytes of the ASCII-cleaned text (so byte values == codepoints and the
+    * DuckDB oracle can mirror the stub codec exactly), metadata from
+    * n_chars. Exercises the real multimodal plumbing (binary column, typed
+    * meta struct, partition-batch decode) on driver-provided data. */
+  private def media(sp: SparkSession, dir: String): DataFrame =
+    docs(sp, dir).select(
+      col("doc_id").as("id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "image")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+        .otherwise("video").as("modality"),
+      encode(regexp_replace(col("text"), "[^ -~]", ""), "UTF-8").as("media"),
+      struct(
+        (pmod(col("n_chars"), lit(1024)) + 16).cast("int").as("width"),
+        (pmod(col("n_chars"), lit(768)) + 16).cast("int").as("height"),
+        lit("stub").as("codec"),
+        (pmod(col("n_chars"), lit(60)) * 1000 + 1000).cast("int").as("duration_ms")
+      ).as("meta")
+    )
+
+  /** The media view in DuckDB SQL (op-for-op mirror of [[media]]). */
+  private val MediaSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      |    regexp_replace(text, '[^ -~]', '', 'g') AS t,
+      |    (n_chars % 1024 + 16)::INT AS width,
+      |    (n_chars % 768 + 16)::INT AS height,
+      |    (n_chars % 60 * 1000 + 1000)::INT AS duration_ms
+      |  FROM documents
+      |)""".stripMargin
 
   // DuckDB fragments mirroring TextHash op-for-op
   private val P = "2147483647"
@@ -80,6 +114,37 @@ object DocQueries {
         e.where(col("vec_id") < 30).select(col("vec_id").as("query_id"), col("embedding")),
         e, k = 5, planes = 6
       )
+    }),
+
+    // ---- embedding near-duplicate pairs ----
+    "q_dedup_embed" -> ((sp, dir) =>
+      Dedup.embeddingNearDupPairs(embs(sp, dir), threshold = 0.2)
+        .select(col("id_a"), col("id_b"), r(col("cosine"), 6).as("cosine"))),
+
+    // ---- multimodal plumbing (stub codec; see Multimodal scaladoc) ----
+    "q_mm_decode" -> ((sp, dir) =>
+      Multimodal.decodeFeatures(media(sp, dir))
+        .select(col("id"), col("modality"), col("width"), col("height"),
+          col("mean_luma"), col("n_bytes"))),
+    "q_mm_resize" -> ((sp, dir) =>
+      Multimodal.withResizePlan(media(sp, dir), 512, 512)
+        .select(col("id"), col("meta.width").as("width"), col("meta.height").as("height"),
+          col("target_width"), col("target_height"))),
+    "q_mm_frames" -> ((sp, dir) =>
+      Multimodal.sampleFrames(media(sp, dir), 1000)
+        .groupBy(col("id")).agg(count(lit(1)).as("n_frames"))),
+
+    // ---- token-grid round trip (north-rule per-row invariant) ----
+    "q_tok_roundtrip" -> ((sp, dir) => {
+      val seqs = docs(sp, dir).select(
+          col("doc_id").cast("string").as("doc_id"),
+          TextHash.tokenHashes(col("text")).cast("array<int>").as("tokens"),
+          col("lang").as("source"))
+        .where(size(col("tokens")) > 0)
+        .withColumn("n_tok", size(col("tokens")).cast("int"))
+      val (grid, _) = TokenAdapter.explodeTokens(seqs)
+      TokenAdapter.reassemble(grid)
+        .select(col("doc_id"), posexplode(col("tokens")).as(Seq("pos", "token")))
     }),
 
     // ---- kinematic stats pivot (G2/G3) ----
@@ -236,6 +301,36 @@ object DocQueries {
            |  FROM scored
            |)
            |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
+      "q_dedup_embed" ->
+        s"""WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+           |b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings),
+           |scored AS (
+           |  SELECT id_a, id_b, ${sqlDot("va", "vb")} / (sqrt(${sqlDot("va", "va")}) * sqrt(${sqlDot("vb", "vb")})) AS c
+           |  FROM a JOIN b ON id_a < id_b
+           |)
+           |SELECT id_a, id_b, round(c, 6) + 0.0 AS cosine FROM scored WHERE c >= 0.2""".stripMargin,
+      "q_mm_decode" ->
+        s"""$MediaSql
+           |SELECT id, modality, width, height,
+           |  CASE WHEN length(t) = 0 THEN 0.0 ELSE
+           |    list_reduce(list_prepend(0::BIGINT, list_transform(string_split(t, ''), c -> ascii(c)::BIGINT)), (a, b) -> a + b)::DOUBLE / length(t)
+           |  END AS mean_luma,
+           |  length(t)::INT AS n_bytes
+           |FROM m""".stripMargin,
+      "q_mm_resize" ->
+        s"""$MediaSql
+           |SELECT id, width, height,
+           |  floor(width * least(512.0 / width, 512.0 / height, 1.0))::INT AS target_width,
+           |  floor(height * least(512.0 / width, 512.0 / height, 1.0))::INT AS target_height
+           |FROM m""".stripMargin,
+      "q_mm_frames" ->
+        s"""$MediaSql
+           |SELECT id, ((duration_ms - 1) // 1000 + 1)::BIGINT AS n_frames
+           |FROM m WHERE modality = 'video'""".stripMargin,
+      "q_tok_roundtrip" ->
+        s"""WITH t AS (SELECT doc_id::VARCHAR AS doc_id, $sqlWordHashes AS wh FROM documents)
+           |SELECT doc_id, i - 1 AS pos, wh[i]::INT AS token
+           |FROM t, unnest(generate_series(1, len(wh))) AS g(i)""".stripMargin,
       "q_stat_wide" ->
         s"""${SparkEntry.KinSql}
            |SELECT traj_id,

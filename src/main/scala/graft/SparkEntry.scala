@@ -187,6 +187,15 @@ object SparkEntry {
       d.groupBy(col("traj_id"))
         .agg(r(sum(col(Kinematic.Distance)), 4).as("distance_travelled"))
     }),
+    // K14 — distance travelled by one entity on one date (same
+    // grid-rounding discipline as K15: round terms, sum on the grid)
+    "q_kin_dist_by_date" -> ((sp, dir) => {
+      val t = traj(sp, dir)
+        .where(col("traj_id") === "7" && to_date(col("ts")) === to_date(lit("2024-01-15")))
+      val d = Kinematic.withDistance(t, S)
+        .withColumn(Kinematic.Distance, r(col(Kinematic.Distance), 3))
+      d.groupBy(col("traj_id")).agg(r(sum(col(Kinematic.Distance)), 4).as("distance_travelled"))
+    }),
     // K16 — distinct locations per entity
     "q_kin_n_locations" -> ((sp, dir) => Kinematic.numberOfLocations(traj(sp, dir), S)),
 
@@ -239,11 +248,33 @@ object SparkEntry {
       Filters.byMaxConsecutiveDistance(Filters.byMinConsecutiveDistance(t, S, 1000.0), S, 100000.0)
         .select(col("traj_id"), col("event_id"))
     }),
+    // F11 — max-distance ∧ max-speed conjunction
+    "q_flt_max_dist_speed" -> ((sp, dir) => {
+      val t = Kinematic.withSpeed(traj(sp, dir), S)
+        .withColumn(Kinematic.Distance, r(col(Kinematic.Distance), 3))
+        .withColumn(Kinematic.Speed, r(col(Kinematic.Speed), 2))
+      Filters.byMaxDistanceAndSpeed(t, S, 50000.0, 30.0)
+        .select(col("traj_id"), col("event_id"))
+    }),
+    // F12 — min-distance ∧ min-speed conjunction (nulls dropped, 3VL)
+    "q_flt_min_dist_speed" -> ((sp, dir) => {
+      val t = Kinematic.withSpeed(traj(sp, dir), S)
+        .withColumn(Kinematic.Distance, r(col(Kinematic.Distance), 3))
+        .withColumn(Kinematic.Speed, r(col(Kinematic.Speed), 2))
+      Filters.byMinDistanceAndSpeed(t, S, 500.0, 1.0)
+        .select(col("traj_id"), col("event_id"))
+    }),
     // F13 — IQR outlier fence on (rounded) distance
     "q_flt_iqr_distance" -> ((sp, dir) => {
       val t = Kinematic.withDistance(traj(sp, dir), S)
         .withColumn(Kinematic.Distance, r(col(Kinematic.Distance), 3))
       Filters.outliersByConsecutiveDistance(t, S).select(col("traj_id"), col("event_id"))
+    }),
+    // F14 — IQR outlier fence on (rounded) speed
+    "q_flt_iqr_speed" -> ((sp, dir) => {
+      val t = Kinematic.withSpeed(traj(sp, dir), S)
+        .withColumn(Kinematic.Speed, r(col(Kinematic.Speed), 2))
+      Filters.outliersByConsecutiveSpeed(t, S).select(col("traj_id"), col("event_id"))
     }),
     // F15 — remove short trajectories
     "q_flt_min_points" -> ((sp, dir) =>
@@ -305,6 +336,13 @@ object SparkEntry {
       val poly = Seq((38.5, 115.5), (39.5, 115.5), (39.5, 116.5), (38.5, 116.5))
       graft.features.Contextual.intersectInsidePolygon(
         t.where(col("traj_id") === "7"), t.where(col("traj_id") === "3"), S, poly)
+    }),
+    // C5 (offline) — nearest POI per point (deterministic argmin)
+    "q_ctx_nearest_poi" -> ((sp, dir) => {
+      val t = traj(sp, dir)
+      val pois = t.where(col("traj_id") === "3" && col("event_id") % 5 === 0)
+        .select(col("event_id").as("poi_id"), col("lat").as("poi_lat"), col("lon").as("poi_lon"))
+      graft.features.Contextual.nearestPoi(t, S, pois, Seq("traj_id", "event_id"))
     }),
     // S4 — NSEW degree-string conversion (strings built from exact ints)
     "q_cnv_directions" -> ((sp, dir) => {
@@ -401,6 +439,26 @@ object SparkEntry {
       "q_flt_dist_band" ->
         s"""$KinSql SELECT traj_id, event_id FROM kin
            |WHERE coalesce(${rs("dist", 3)}, 999.0) >= 1000.0 AND coalesce(${rs("dist", 3)}, 100001.0) <= 100000.0""".stripMargin,
+      "q_flt_max_dist_speed" ->
+        s"""$KinSql SELECT traj_id, event_id FROM kin
+           |WHERE ${rs("dist", 3)} <= 50000.0 AND ${rs("speed", 2)} <= 30.0""".stripMargin,
+      "q_flt_min_dist_speed" ->
+        s"""$KinSql SELECT traj_id, event_id FROM kin
+           |WHERE ${rs("dist", 3)} >= 500.0 AND ${rs("speed", 2)} >= 1.0""".stripMargin,
+      "q_flt_iqr_speed" ->
+        s"""$KinSql, rd AS (SELECT traj_id, event_id, ${rs("speed", 2)} AS v FROM kin),
+           |q AS (SELECT quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3 FROM rd)
+           |SELECT traj_id, event_id FROM rd, q
+           |WHERE v > q1 - 1.5 * (q3 - q1) AND v < q3 + 1.5 * (q3 - q1)""".stripMargin,
+      "q_kin_dist_by_date" ->
+        s"""$TrajSql, f AS (
+           |  SELECT * FROM traj WHERE traj_id = '7' AND cast(ts AS date) = DATE '2024-01-15'
+           |), lagd AS (
+           |  SELECT traj_id, ts, lat, lon, lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+           |  FROM f WINDOW w AS (PARTITION BY traj_id ORDER BY ts, event_id)
+           |)
+           |SELECT traj_id, ${rs(s"sum(round(${havSql("plat", "plon", "lat", "lon")}, 3) + 0.0)", 4)} AS distance_travelled
+           |FROM lagd GROUP BY traj_id""".stripMargin,
       "q_flt_iqr_distance" ->
         s"""$KinSql, rd AS (SELECT traj_id, event_id, ${rs("dist", 3)} AS d FROM kin),
            |q AS (SELECT quantile_cont(d, 0.25) AS q1, quantile_cont(d, 0.75) AS q3 FROM rd)
@@ -479,6 +537,18 @@ object SparkEntry {
            |b AS (SELECT traj_id AS traj_id_2, ts AS ts_2, lat, lon FROM clipped WHERE traj_id = '3')
            |SELECT traj_id_1, traj_id_2, ts_1, ts_2, a.lat, a.lon
            |FROM a JOIN b USING (lat, lon)""".stripMargin,
+      "q_ctx_nearest_poi" ->
+        s"""$TrajSql, poi AS (
+           |  SELECT event_id AS poi_id, lat AS plat, lon AS plon FROM traj
+           |  WHERE traj_id = '3' AND event_id % 5 = 0
+           |), scored AS (
+           |  SELECT t.traj_id, t.event_id, p.poi_id,
+           |         ${rs(havSql("p.plat", "p.plon", "t.lat", "t.lon"), 3)} AS d
+           |  FROM traj t CROSS JOIN poi p
+           |)
+           |SELECT traj_id, event_id, d AS nearest_poi_dist, poi_id AS nearest_poi
+           |FROM scored
+           |QUALIFY row_number() OVER (PARTITION BY traj_id, event_id ORDER BY d, poi_id) = 1""".stripMargin,
       "q_cnv_directions" ->
         """WITH src AS (
           |  SELECT event_id,

@@ -57,6 +57,29 @@ object Contextual {
     ).withColumn("Nearby_POI", coalesce(col("Nearby_POI"), lit(false)))
   }
 
+  /** C5 (offline form) — nearest POI per point. The reference pulls the POI
+    * layer from OSMnx over the network (contextual_features.py:303-379,
+    * descoped); semantics are preserved against a caller-supplied offline
+    * layer `pois` = (poi_id, poi_lat, poi_lon): broadcast the (small) layer,
+    * score every (point, poi) pair, take the per-point argmin with a
+    * DETERMINISTIC tie-break (min over struct(dist, poi_id) is
+    * lexicographic). `keyCols` must uniquely identify df rows. Zero shuffle
+    * on the big side until the final keyed agg (map-side partial min). */
+  def nearestPoi(
+      df: DataFrame,
+      s: TrajSchema,
+      pois: DataFrame,
+      keyCols: Seq[String],
+      roundDigits: Int = 3
+  ): DataFrame = {
+    val d = round(Geo.haversine(col("poi_lat"), col("poi_lon"), s.latCol, s.lonCol), roundDigits) + 0.0
+    df.crossJoin(broadcast(pois.select(col("poi_id"), col("poi_lat"), col("poi_lon"))))
+      .withColumn("_pd", d)
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(struct(col("_pd"), col("poi_id"))).as("_np"))
+      .select(keyCols.map(col) :+ col("_np._pd").as("nearest_poi_dist") :+ col("_np.poi_id").as("nearest_poi"): _*)
+  }
+
   /** Ray-casting point-in-polygon as a pure Column expression (crossing
     * number over the edge list). `polygon` is a Seq of (lat, lon) vertices
     * (closed implicitly). Broadcast as literals — zero shuffle. */

@@ -1,0 +1,189 @@
+package graft.features
+
+import graft.core.TokenAdapter
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+
+/** Shuffle-free kinematic+session feature kernel for PRE-GROUPED sequences.
+  *
+  * The graft's authoritative input (`doc_id, tokens array<int32>, n_tok,
+  * source` — BASELINE.json input_hint) already holds one entity per row with
+  * its observations in order. The general engine path
+  * ([[graft.core.TokenAdapter.explodeTokens]] → [[Kinematic.withKinematics]]
+  * → [[graft.session.Sessionize.byGap]]) re-groups via an
+  * Exchange(hashpartitioning(doc_id)) + Sort — work that is pure overhead
+  * when the grouping already exists in the storage layout. This kernel is
+  * the physical fast path: a typed `Dataset.map` (Dataset API, not RDD) that
+  * runs the whole per-entity chain as one JIT-compiled loop — the idiomatic
+  * Spark analogue of the reference's per-trajectory vectorized numpy kernel
+  * (ptrail/features/helper_functions.py:144-190), but embarrassingly
+  * parallel over input splits with ZERO shuffle, zero sort, and no
+  * multiprocessing IPC (kinematic_features.py:201-222).
+  *
+  * Exactness contract: every arithmetic step mirrors the declarative plan
+  * op-for-op — `xxhash64` via catalyst's XXH64 with Spark's literal-fold
+  * order, haversine/bearing in [[graft.kernels.Geo]]'s operation order
+  * (java.lang.Math == Spark codegen's runtime), Δt through the same
+  * micros-long → double division. TokenKernelSpec asserts BIT-EQUALITY of
+  * every feature against the window path on the synthetic corpus.
+  *
+  * At 100 TB: this path scans Iceberg/parquet splits and emits per-doc
+  * vectors with no exchange at all — the scaling-efficiency headline in
+  * BENCH.md. The window path remains the semantics reference and covers
+  * inputs that are NOT pre-grouped (event streams, as-of merge outputs).
+  */
+object TokenKernel {
+
+  case class SeqRow(doc_id: String, tokens: Array[Int])
+
+  /** Per-document consumed feature vector (same aggregates as the bench
+    * flagship's consume-all groupBy: null-skipping sums over every feature,
+    * max session id, row count). */
+  case class DocVector(
+      doc_id: String,
+      n: Long,
+      n_sessions: Long,
+      sum_Distance: Double,
+      sum_Distance_from_start: Double,
+      sum_Speed: Double,
+      sum_Acceleration: Double,
+      sum_Jerk: Double,
+      sum_Bearing: Double,
+      sum_Bearing_Rate: Double,
+      sum_Rate_of_bearing_rate: Double
+  )
+
+  /** Per-token row for parity testing against the window path. */
+  case class TokenRow(
+      doc_id: String,
+      pos: Int,
+      token: Int,
+      lat: Double,
+      lon: Double,
+      Distance: Option[Double],
+      Distance_from_start: Option[Double],
+      Speed: Option[Double],
+      Acceleration: Option[Double],
+      Jerk: Option[Double],
+      Bearing: Option[Double],
+      Bearing_Rate: Option[Double],
+      Rate_of_bearing_rate: Option[Double],
+      session_id: Long
+  )
+
+  private val SparkHashSeed = 42L
+  private val EarthR = graft.kernels.Geo.EarthRadiusMeters
+
+  /** Spark's `xxhash64(lit(seed), token, pos)` for int columns: left fold of
+    * XXH64.hashInt starting at seed 42 (catalyst XxHash64 semantics). */
+  @inline private def hash3(seedLit: Int, token: Int, pos: Int): Long = {
+    var h = XXH64.hashInt(seedLit, SparkHashSeed)
+    h = XXH64.hashInt(token, h)
+    XXH64.hashInt(pos, h)
+  }
+
+  /** TokenAdapter.hashFrac mirror: hash → double in [0, 1). */
+  @inline private def hashFrac(seedLit: Int, token: Int, pos: Int): Double =
+    hash3(seedLit, token, pos).toDouble / 1.8446744073709552e19 + 0.5
+
+  /** Geo.haversine mirror (same op order; java.lang.Math == codegen). */
+  @inline private def haversine(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val p1 = math.toRadians(lat1); val p2 = math.toRadians(lat2)
+    val sdLat = math.sin((math.toRadians(lat2) - math.toRadians(lat1)) / 2.0)
+    val sdLon = math.sin((math.toRadians(lon2) - math.toRadians(lon1)) / 2.0)
+    val a = sdLat * sdLat + math.cos(p1) * math.cos(p2) * sdLon * sdLon
+    2.0 * math.atan2(math.sqrt(a), math.sqrt(1.0 - a)) * EarthR
+  }
+
+  /** Geo.bearing mirror (pmod(x, 360) = Spark Pmod double semantics). */
+  @inline private def bearing(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val p1 = math.toRadians(lat1); val p2 = math.toRadians(lat2)
+    val dLon = math.toRadians(lon2) - math.toRadians(lon1)
+    val y = math.cos(p2) * math.sin(dLon)
+    val x = math.cos(p1) * math.sin(p2) - math.sin(p1) * math.cos(p2) * math.cos(dLon)
+    val deg = math.toDegrees(math.atan2(y, x))
+    val r = deg % 360.0
+    if (r < 0) r + 360.0 else r
+  }
+
+  /** Geo.infToNull mirror on a primitive chain: ±Inf → NaN-as-null marker.
+    * We track "null" as Double.NaN internally and convert at the edges. */
+  @inline private def infToNaN(v: Double): Double =
+    if (v == Double.PositiveInfinity || v == Double.NegativeInfinity) Double.NaN else v
+
+  /** The per-document loop. Returns (sums..., nSessions) via a single pass.
+    * Feature f of derivative order d is undefined (NaN) for the first d
+    * positions — identical to the window path's lag-null chain. */
+  private final class DocState(stepSec: Long, gapSeconds: Double) extends Serializable {
+    private val dtMicros: Long = stepSec * 1000000L
+    private val dt: Double = dtMicros.toDouble / 1e6
+    private val gapMicros: Long = (gapSeconds * 1e6).toLong
+    private val boundary: Boolean = dtMicros > gapMicros
+
+    // normalized null-skipping accumulate
+    @inline private def acc(sum: Double, v: Double): Double = if (v != v) sum else sum + v
+
+    def run(r: SeqRow, emit: TokenRow => Unit): DocVector = {
+      val n = r.tokens.length
+      var sDist, sDistStart, sSpeed, sAcc, sJerk, sBrg, sBrate, sRobr = 0.0
+      var pLat, pLon = 0.0
+      var lat0, lon0 = 0.0
+      var pSpeed, pAcc, pBrg, pBrate = Double.NaN
+      var i = 0
+      var sessions = 0L
+      while (i < n) {
+        val tok = r.tokens(i)
+        val lat = -90.0 + hashFrac(1, tok, i) * 180.0
+        val lon = -180.0 + hashFrac(2, tok, i) * 360.0
+        if (i == 0) { lat0 = lat; lon0 = lon }
+        var dist, distStart, speed, accel, jerk, brg, brate, robr = Double.NaN
+        if (i > 0) {
+          dist = haversine(pLat, pLon, lat, lon)
+          distStart = haversine(lat0, lon0, lat, lon)
+          brg = bearing(pLat, pLon, lat, lon)
+          speed = infToNaN(dist / dt)
+          brate = infToNaN((brg - pBrg) / dt)
+          accel = infToNaN((speed - pSpeed) / dt)
+          jerk = infToNaN((accel - pAcc) / dt)
+          robr = infToNaN((brate - pBrate) / dt)
+          if (boundary) sessions += 1
+        }
+        sDist = acc(sDist, dist); sDistStart = acc(sDistStart, distStart)
+        sSpeed = acc(sSpeed, speed); sAcc = acc(sAcc, accel); sJerk = acc(sJerk, jerk)
+        sBrg = acc(sBrg, brg); sBrate = acc(sBrate, brate); sRobr = acc(sRobr, robr)
+        if (emit ne null) {
+          def o(v: Double): Option[Double] = if (v != v) None else Some(v)
+          emit(TokenRow(r.doc_id, i, tok, lat, lon, o(dist), o(distStart), o(speed),
+            o(accel), o(jerk), o(brg), o(brate), o(robr), sessions))
+        }
+        pLat = lat; pLon = lon
+        pSpeed = speed; pAcc = accel; pBrg = brg; pBrate = brate
+        i += 1
+      }
+      DocVector(r.doc_id, n, sessions, sDist, sDistStart, sSpeed, sAcc, sJerk, sBrg, sBrate, sRobr)
+    }
+  }
+
+  /** Full flagship per-doc feature vectors with NO shuffle: scan → typed map.
+    * `stepSec`/`gapSeconds` as in TokenAdapter.explodeTokens / Sessionize. */
+  def docVectors(corpus: DataFrame, stepSec: Long = 1L, gapSeconds: Double = 1.5): Dataset[DocVector] = {
+    val state = new DocState(stepSec, gapSeconds)
+    corpus
+      .select("doc_id", "tokens")
+      .as(Encoders.product[SeqRow])
+      .map(r => state.run(r, null))(Encoders.product[DocVector])
+  }
+
+  /** Per-token features (parity/testing surface; explodes like the grid). */
+  def tokenRows(corpus: DataFrame, stepSec: Long = 1L, gapSeconds: Double = 1.5): Dataset[TokenRow] = {
+    val state = new DocState(stepSec, gapSeconds)
+    corpus
+      .select("doc_id", "tokens")
+      .as(Encoders.product[SeqRow])
+      .flatMap { r =>
+        val buf = new scala.collection.mutable.ArrayBuffer[TokenRow](r.tokens.length)
+        state.run(r, buf += _)
+        buf
+      }(Encoders.product[TokenRow])
+  }
+}

@@ -1,28 +1,39 @@
 #!/bin/bash
 # Scaling-efficiency protocol (BASELINE.md): the identical flagship job at
-# local[8] (N) and local[32] (4N) on the same deterministic input; report
-# throughput at both + efficiency T32/(4·T8). Run from /root/repo.
+# local[N] and local[4N] on the same deterministic input; report throughput
+# at both + efficiency T_{4N}/(4·T_N). Run from /root/repo.
+#
+# Two physical paths are swept:
+#   window  — explode → shuffle → fused window chain (general path)
+#   grouped — typed per-doc kernel, zero shuffle (pre-grouped scale path)
+# Sizes differ so each run lands in a stable 3–60 s measurement band.
 set -e
-DOCS="${SPARK_GRAFT_BENCH_DOCS:-200000}"
 REPS="${SPARK_GRAFT_BENCH_REPS:-3}"
 OUT="${1:-/tmp/graft_scaling}"
+N="${SPARK_GRAFT_N:-8}"
+N4=$((N * 4))
 mkdir -p "$OUT"
-# stage the jar once so each run measures compute, not compilation
 sbt -batch package > /dev/null
-for CPUS in 8 32; do
-  echo "== local[$CPUS] =="
-  SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_BENCH_DOCS=$DOCS SPARK_GRAFT_BENCH_REPS=$REPS \
-  SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
-    sbt -batch 'runMain graft.Bench' 2>&1 | grep '"metric"' | sed 's/^\[info\] //' \
-    | tee "$OUT/bench_cpus$CPUS.json"
+for CPUS in $N $N4; do
+  for PATHKIND in window grouped; do
+    DOCS="${SPARK_GRAFT_WDOCS:-200000}"
+    [ "$PATHKIND" = grouped ] && DOCS="${SPARK_GRAFT_GDOCS:-4000000}"
+    echo "== local[$CPUS] $PATHKIND =="
+    SPARK_DRIVER_MEM=64g SPARK_GRAFT_FLAGSHIP_ONLY=1 SPARK_GRAFT_PATHS=$PATHKIND \
+    SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_BENCH_DOCS=$DOCS SPARK_GRAFT_BENCH_REPS=$REPS \
+    SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
+      sbt -batch 'runMain graft.Bench' 2>&1 | grep '"metric"' | sed 's/^\[info\] //' \
+      | tee "$OUT/bench_${PATHKIND}_cpus$CPUS.json"
+  done
 done
-python3 - "$OUT" <<'EOF'
+python3 - "$OUT" "$N" "$N4" <<'EOF'
 import json, sys
-out = sys.argv[1]
-j8 = json.load(open(f"{out}/bench_cpus8.json"))
-j32 = json.load(open(f"{out}/bench_cpus32.json"))
-t8, t32 = j8["tokens_per_sec"], j32["tokens_per_sec"]
-eff = t32 / (4 * t8)
-print(json.dumps({"throughput_local8_tok_s": t8, "throughput_local32_tok_s": t32,
-                  "scaling_efficiency": round(eff, 3), "tokens": j8["tokens"]}, indent=2))
+out, n, n4 = sys.argv[1], sys.argv[2], sys.argv[3]
+for kind, field in (("window", "tokens_per_sec"), ("grouped", "grouped_tokens_per_sec")):
+    a = json.load(open(f"{out}/bench_{kind}_cpus{n}.json"))
+    b = json.load(open(f"{out}/bench_{kind}_cpus{n4}.json"))
+    ta, tb = a[field], b[field]
+    print(json.dumps({"path": kind, f"tok_s_local{n}": ta, f"tok_s_local{n4}": tb,
+                      "scaling_efficiency": round(tb / (4 * ta), 3),
+                      "tokens": a["tokens"]}))
 EOF
