@@ -38,12 +38,14 @@ object Similarity {
       vec: String = "embedding",
       roundDigits: Int = 6
   ): DataFrame = {
-    val q = queries.select(col(queryId), col(vec).as("_qv"))
-    val c = corpus.select(col(corpusId), col(vec).as("_cv"))
+    // norms once per side (one dot per pair instead of three; same IEEE value)
+    val q = queries.select(col(queryId), col(vec).as("_qv"), norm(col(vec)).as("_qn"))
+    val c = corpus.select(col(corpusId), col(vec).as("_cv"), norm(col(vec)).as("_cn"))
     val scored = c
       .crossJoin(broadcast(q))
       .where(col(queryId) =!= col(corpusId))
-      .withColumn("cosine", round(cosine(col("_qv"), col("_cv")), roundDigits) + 0.0)
+      .withColumn("cosine",
+        round(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), roundDigits) + 0.0)
     val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
     scored
       .withColumn("rank", row_number().over(w))
@@ -84,13 +86,14 @@ object Similarity {
       vec: String = "embedding"
   ): DataFrame = {
     val q = lshBuckets(queries.select(col(queryId), col(vec).as("_qv")), planes, queryId, "_qv")
-      .select(col(queryId), col("_qv"), col("bucket"))
+      .select(col(queryId), col("_qv"), norm(col("_qv")).as("_qn"), col("bucket"))
     val c = lshBuckets(corpus.select(col(corpusId), col(vec).as("_cv")), planes, corpusId, "_cv")
-      .select(col(corpusId), col("_cv"), col("bucket"))
+      .select(col(corpusId), col("_cv"), norm(col("_cv")).as("_cn"), col("bucket"))
     val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
     c.join(broadcast(q), Seq("bucket"))
       .where(col(queryId) =!= col(corpusId))
-      .withColumn("cosine", round(cosine(col("_qv"), col("_cv")), 6) + 0.0)
+      .withColumn("cosine",
+        round(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6) + 0.0)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(queryId), col(corpusId), col("cosine"), col("rank"))

@@ -149,18 +149,22 @@ object Dedup {
 
   /** Embedding cosine near-duplicate pairs above a threshold, via the
     * brute-force pair join (see graft.ann.Similarity for the LSH-bucketed
-    * scale path). */
+    * scale path). Norms are computed ONCE per vector before the pair join
+    * (one dot per pair instead of three — 3× less of the dominant cost;
+    * identical IEEE value: cosine = dot/(norm_a·norm_b) either way). */
   def embeddingNearDupPairs(
       emb: DataFrame,
       threshold: Double,
       id: String = "vec_id",
       vec: String = "embedding"
   ): DataFrame = {
-    val a = emb.select(col(id).as("id_a"), col(vec).as("va"))
-    val b = emb.select(col(id).as("id_b"), col(vec).as("vb"))
+    val a = emb.select(col(id).as("id_a"), col(vec).as("va"),
+      graft.ann.Similarity.norm(col(vec)).as("_na"))
+    val b = emb.select(col(id).as("id_b"), col(vec).as("vb"),
+      graft.ann.Similarity.norm(col(vec)).as("_nb"))
     a.crossJoin(b)
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", graft.ann.Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cosine", graft.ann.Similarity.dot(col("va"), col("vb")) / (col("_na") * col("_nb")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
