@@ -1,0 +1,102 @@
+package graft
+
+import graft.core.{SyntheticCorpus, TokenAdapter}
+import graft.features.Kinematic
+import graft.session.Sessionize
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Plan auditor: prints the formatted physical plan of the headline
+  * pipelines and asserts the plan-shape invariants that matter at 100 TB.
+  *
+  *   - flagship window chain: EXACTLY ONE Exchange before the final agg
+  *     (all 8 features + sessionize share a single hash partitioning + sort;
+  *     the consume-all agg reuses the clustering → no second exchange)
+  *   - parquet scans show pushed filters / pruned columns where expected
+  *   - small sides of contextual joins are broadcast
+  *
+  * `sbt -batch "runMain graft.Explain <sfDir>"` — exits non-zero if an
+  * invariant fails, so it can run as a gate.
+  */
+object Explain {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var failures = List.empty[String]
+    def check(name: String)(cond: Boolean): Unit =
+      if (!cond) failures ::= name
+
+    // --- flagship window chain ---
+    val corpus = SyntheticCorpus.generate(spark, 1000)
+    val (grid, ts) = TokenAdapter.explodeTokens(corpus)
+    val ses = Sessionize.byGap(Kinematic.withKinematics(grid, ts), ts, 1.5)
+    val aggs = Kinematic.AllFeatures.map(f => sum(col(f)).as(s"sum_$f")) :+
+      max(col("session_id")).as("n_sessions") :+ count(lit(1)).as("n")
+    val flag = ses.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val flagPlan = flag.queryExecution.executedPlan.toString
+    println("=== flagship window chain (explode → 8-feature window → sessionize → agg) ===")
+    flag.explain("formatted")
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(flagPlan).length
+    check(s"flagship: expected 1 hash exchange, got $nExchanges")(nExchanges == 1)
+    val nSorts = "\\bSort \\[".r.findAllIn(flagPlan).length
+    check(s"flagship: expected 1 sort, got $nSorts")(nSorts == 1)
+    check("flagship: window operator present")(flagPlan.contains("Window"))
+
+    // --- filter pushdown into parquet scan ---
+    val filtered = SparkEntry.events(spark, sfDir)
+      .where(col("user_id") === 7)
+      .select(col("event_id"), col("ts"))
+    println("=== filtered scan (pushdown + column pruning) ===")
+    filtered.explain("formatted")
+    val scanPlan = filtered.queryExecution.executedPlan.toString
+    check("scan: filter pushed to parquet")(scanPlan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)"))
+    check("scan: columns pruned to 3")(
+      "ReadSchema: struct<event_id:bigint,ts:timestamp(_ntz)?,user_id:bigint>".r
+        .findFirstIn(scanPlan).isDefined)
+
+    // --- contextual join broadcasts the small side ---
+    val t = SparkEntry.traj(spark, sfDir)
+    val layer = t.where(col("traj_id") === "7").select(col("lat"), col("lon"))
+      .withColumn("loc_name", lit("den"))
+    val visited = graft.features.Contextual.visitedLocation(t, SparkEntry.S, layer, "den", "loc_name")
+    val visitedPlan = visited.queryExecution.executedPlan.toString
+    println("=== visited_location (broadcast equality join) ===")
+    check("visited: BroadcastHashJoin used")(visitedPlan.contains("BroadcastHashJoin"))
+
+    // --- as-of join: one exchange over the union, no nested-loop ---
+    val probe = SparkEntry.events(spark, sfDir).select(col("user_id"), col("ts"), col("event_id"))
+    val build = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+        col("o_orderkey"), col("o_totalprice"))
+    val asof = graft.asof.AsOfJoin.backward(probe, build, "user_id", "ts",
+      Seq("o_orderkey", "o_totalprice"), buildOrder = Seq("o_orderkey"))
+    val asofPlan = asof.queryExecution.executedPlan.toString
+    println("=== as-of join (union + cumulative last) ===")
+    val asofExchanges = "Exchange hashpartitioning".r.findAllIn(asofPlan).length
+    check(s"asof: single exchange over the union, got $asofExchanges")(asofExchanges == 1)
+    check("asof: no nested loop")(!asofPlan.contains("NestedLoop"))
+
+    // --- grouped kernel: zero exchanges ---
+    val grouped = graft.features.TokenKernel.docVectors(corpus.toDF())
+    val groupedPlan = grouped.queryExecution.executedPlan.toString
+    println("=== grouped token kernel (must be shuffle-free) ===")
+    check("grouped: zero exchanges")(!groupedPlan.contains("Exchange"))
+
+    if (failures.nonEmpty) {
+      System.err.println("PLAN INVARIANT FAILURES:")
+      failures.reverse.foreach(f => System.err.println(s"  ✗ $f"))
+      spark.stop()
+      sys.exit(1)
+    }
+    println("ALL PLAN INVARIANTS HOLD")
+    spark.stop()
+  }
+}
