@@ -308,6 +308,19 @@ object SparkEntry {
         .select(col("event_id"), col("asof_ts"), col("o_orderkey"), col("o_totalprice"))
     }),
 
+    // As-of v2 — same semantics through the Catalyst-native merge exec
+    // (AsOfMergeExec): co-partitioned children, streaming merge, no union
+    // sort. Same oracle as q_asof_orders.
+    "q_asof_orders_merge" -> ((sp, dir) => {
+      val probe = events(sp, dir).select(col("user_id"), col("ts"), col("event_id"))
+      val build = sp.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+          col("o_orderkey"), col("o_totalprice"))
+      graft.asof.AsOfMerge.backward(probe, build, "user_id", "ts",
+          Seq("o_orderkey", "o_totalprice"), buildOrder = Seq("o_orderkey"))
+        .select(col("event_id"), col("asof_ts"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // C1 — visited_location: layer = user 7's distinct points
     "q_ctx_visited" -> ((sp, dir) => {
       val t = traj(sp, dir)
@@ -508,6 +521,16 @@ object SparkEntry {
         s"""$TrajSql SELECT traj_id, event_id,
            |cast(floor(date_diff('day', min(cast(ts AS date)) OVER (PARTITION BY traj_id), cast(ts AS date)) / 7) AS bigint) AS seg_id
            |FROM traj""".stripMargin,
+      "q_asof_orders_merge" ->
+        """WITH ranked AS (
+          |  SELECT e.event_id, o.o_orderdate, o.o_orderkey, o.o_totalprice,
+          |         row_number() OVER (PARTITION BY e.event_id
+          |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rk
+          |  FROM events e JOIN orders o
+          |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+          |)
+          |SELECT e.event_id, r.o_orderdate AS asof_ts, r.o_orderkey, r.o_totalprice
+          |FROM events e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rk = 1""".stripMargin,
       "q_asof_orders" ->
         """WITH ranked AS (
           |  SELECT e.event_id, o.o_orderdate, o.o_orderkey, o.o_totalprice,

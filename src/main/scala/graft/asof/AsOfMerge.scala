@@ -1,0 +1,213 @@
+package graft.asof
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, AttributeReference, AttributeSet, BindReferences,
+  GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection
+}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+
+/** Catalyst-native point-in-time as-of merge — the v2 the north star asks
+  * for ("a Catalyst-native point-in-time as-of merge over range-partitioned,
+  * secondary-sorted partitions").
+  *
+  * v1 ([[AsOfJoin.backward]]) unions both sides and runs one cumulative
+  * window: correct, built-ins only, but it sorts |probe|+|build| rows as ONE
+  * dataset and carries a null-padded super-schema through the exchange.
+  * This operator plans a dedicated [[AsOfMergeExec]] instead:
+  *
+  *   - `requiredChildDistribution` = ClusteredDistribution(entity) on BOTH
+  *     children → Catalyst's EnsureRequirements co-partitions them (and
+  *     elides an exchange entirely when a side is already hash-clustered —
+  *     the shuffle-avoidance the v1 scaladoc promised);
+  *   - `requiredChildOrdering` = (entity, ts[, tieBreaks]) per side → two
+  *     independent (smaller) sorts instead of one union sort;
+  *   - execution = one streaming merge pass per co-partition: advance the
+  *     build iterator while its (entity, ts) key ≤ the probe key, retain the
+  *     last build row, emit probe ⋈ match. O(|probe|+|build|) comparisons,
+  *     O(1) memory (ONE retained row), no window row-buffering.
+  *
+  * Semantics are identical to v1 by construction and by test (AsOfMergeSpec
+  * asserts exceptAll-equality in both directions, incl. tolerance and tie
+  * rules): most recent build.ts ≤ probe.ts per entity, equal timestamps
+  * visible, `buildOrder` breaks equal-ts ties (last wins), null entities
+  * group together (v1's window-partition semantics).
+  */
+object AsOfMerge {
+
+  /** Public API — same signature/semantics as [[AsOfJoin.backward]]. */
+  def backward(
+      probe: DataFrame,
+      build: DataFrame,
+      entity: String,
+      ts: String,
+      valueCols: Seq[String],
+      toleranceSec: Double = -1.0,
+      buildOrder: Seq[String] = Nil
+  ): DataFrame = {
+    require(!probe.columns.exists(valueCols.contains), "value columns collide with probe columns")
+    val spark = probe.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfMergeStrategy)) {
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfMergeStrategy
+    }
+    // align key types across sides (v1 got this from the union's coercion)
+    val probeSchema = probe.schema
+    val buildAligned = build
+      .withColumn(entity, col(entity).cast(probeSchema(entity).dataType))
+      .withColumn(ts, col(ts).cast(probeSchema(ts).dataType))
+    val buildPlan = buildAligned.queryExecution.analyzed
+    val buildTsAttr = buildPlan.output.find(_.name == ts).get
+    // the produced attribute lives in the node's constructor so copy()/
+    // withNewChildren preserve its exprId (parents keep resolving)
+    val asofTs = AttributeReference("asof_ts", buildTsAttr.dataType, nullable = true)()
+    val plan = AsOfMergePlan(
+      probe.queryExecution.analyzed, buildPlan,
+      entity, ts, valueCols, toleranceSec, buildOrder, asofTs
+    )
+    GraftSqlBridge.ofRows(spark, plan)
+  }
+}
+
+/** Logical node: output = probe columns ++ asof_ts ++ build value columns
+  * (match columns nullable — a probe row may have no match). */
+case class AsOfMergePlan(
+    probe: LogicalPlan,
+    build: LogicalPlan,
+    entity: String,
+    ts: String,
+    valueCols: Seq[String],
+    toleranceSec: Double,
+    buildOrder: Seq[String],
+    asofTs: AttributeReference
+) extends BinaryNode {
+
+  override def left: LogicalPlan = probe
+  override def right: LogicalPlan = build
+
+  private def buildAttr(name: String): Attribute =
+    build.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"build side has no column '$name'"))
+
+  override def output: Seq[Attribute] =
+    probe.output ++ (asofTs +: valueCols.map(c => buildAttr(c).withNullability(true)))
+
+  // consume every child column: keeps column-pruning/CollapseProject rules
+  // from touching inputs this operator's runtime keys depend on
+  override def references: AttributeSet = AttributeSet(probe.output ++ build.output)
+  override def producedAttributes: AttributeSet = AttributeSet(Seq(asofTs))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfMergePlan =
+    copy(probe = newLeft, build = newRight)
+}
+
+object AsOfMergeStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case m: AsOfMergePlan =>
+      AsOfMergeExec(
+        m.entity, m.ts, m.valueCols, m.toleranceSec, m.buildOrder, m.output,
+        planLater(m.probe), planLater(m.build)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfMergeExec(
+    entity: String,
+    ts: String,
+    valueCols: Seq[String],
+    toleranceSec: Double,
+    buildOrder: Seq[String],
+    override val output: Seq[Attribute],
+    left: SparkPlan,
+    right: SparkPlan
+) extends BinaryExecNode {
+
+  private def attr(side: SparkPlan, name: String): Attribute =
+    side.output.find(_.name == name).get
+
+  private lazy val probeEntity = attr(left, entity)
+  private lazy val probeTs = attr(left, ts)
+  private lazy val buildEntity = attr(right, entity)
+  private lazy val buildTs = attr(right, ts)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(probeEntity)) :: ClusteredDistribution(Seq(buildEntity)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(probeEntity, Ascending), SortOrder(probeTs, Ascending)),
+    Seq(SortOrder(buildEntity, Ascending), SortOrder(buildTs, Ascending)) ++
+      buildOrder.map(c => SortOrder(attr(right, c), Ascending))
+  )
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // capture ONLY serializable specs (attributes, expressions, scalars);
+    // projections/orderings are generated code — built per partition
+    val leftOutput = left.output
+    val rightOutput = right.output
+    val probeKeyAttrs = Seq(probeEntity, probeTs)
+    val buildKeyAttrs = Seq(buildEntity, buildTs)
+    val keyTypes = Seq(probeEntity.dataType, probeTs.dataType)
+    // build-side outputs forced nullable: the no-match row is all-null
+    val outExprs = leftOutput ++
+      (buildTs.withNullability(true) +: valueCols.map(c => attr(right, c).withNullability(true)))
+    val boundOut = BindReferences.bindReferences(
+      outExprs,
+      org.apache.spark.sql.catalyst.expressions.AttributeSeq(
+        leftOutput ++ rightOutput.map(_.withNullability(true)))
+    )
+    val buildWidth = rightOutput.length
+    val buildTsOrdinal = rightOutput.indexWhere(_.name == ts)
+    val probeTsOrdinal = leftOutput.indexWhere(_.name == ts)
+    val tolMicros = if (toleranceSec < 0) -1L else (toleranceSec * 1e6).toLong
+    val tsType = probeTs.dataType
+
+    left.execute().zipPartitions(right.execute()) { (probeIter, buildIter) =>
+      val probeKeyGen = UnsafeProjection.create(probeKeyAttrs, leftOutput)
+      val buildKeyGen = UnsafeProjection.create(buildKeyAttrs, rightOutput)
+      // lexicographic (entity, ts): build-entity < probe-entity ⇒ consume;
+      // equal entity & build-ts ≤ probe-ts ⇒ consume (equal-ts row visible).
+      // Null entities compare equal ⇒ they match each other (v1 semantics).
+      val keyOrdering = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val entityOrdering = RowOrdering.createNaturalAscendingOrdering(keyTypes.take(1))
+      val probeEntityGen = UnsafeProjection.create(probeKeyAttrs.take(1), leftOutput)
+      val buildEntityGen = UnsafeProjection.create(buildKeyAttrs.take(1), rightOutput)
+      val outProject = UnsafeProjection.create(boundOut)
+      @inline def micros(row: InternalRow, ordinal: Int): Long = tsType match {
+        case TimestampType | TimestampNTZType => row.getLong(ordinal)
+        case DateType => row.getInt(ordinal) * 86400000000L
+        case dt => throw new IllegalArgumentException(s"tolerance unsupported for ts type $dt")
+      }
+      val nullBuild = new GenericInternalRow(buildWidth)
+      val joined = new JoinedRow
+      val buffered = buildIter.buffered
+      var lastBuild: InternalRow = null
+
+      probeIter.map { p =>
+        val pk = probeKeyGen(p)
+        while (buffered.hasNext && keyOrdering.compare(buildKeyGen(buffered.head), pk) <= 0) {
+          lastBuild = buffered.next().copy()
+        }
+        val matched =
+          lastBuild != null &&
+            entityOrdering.compare(buildEntityGen(lastBuild), probeEntityGen(p)) == 0 &&
+            (tolMicros < 0 ||
+              micros(p, probeTsOrdinal) - micros(lastBuild, buildTsOrdinal) <= tolMicros)
+        outProject(joined(p, if (matched) lastBuild else nullBuild))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfMergeExec =
+    copy(left = newLeft, right = newRight)
+}

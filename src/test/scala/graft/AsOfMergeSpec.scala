@@ -1,0 +1,83 @@
+package graft
+
+import graft.asof.{AsOfJoin, AsOfMerge}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The Catalyst-native merge exec (v2) must be indistinguishable from the
+  * built-ins formulation (v1) — on hand fixtures, on the driver testdata
+  * shape, with tolerance, and with tie-break columns. */
+class AsOfMergeSpec extends SparkSpec {
+
+  private def probeDf: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("a", "2024-01-01 10:00:00", 1L),
+      ("a", "2024-01-01 11:00:00", 2L),
+      ("a", "2024-01-01 12:00:00", 3L),
+      ("b", "2024-01-01 10:30:00", 4L),
+      ("c", "2024-01-01 09:00:00", 5L) // entity with no build rows
+    ).toDF("entity", "ts_s", "pid")
+      .select(col("entity"), col("ts_s").cast("timestamp").as("ts"), col("pid"))
+  }
+
+  private def buildDf: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("a", "2024-01-01 09:30:00", 10L, 1.0),
+      ("a", "2024-01-01 11:00:00", 11L, 2.0), // equal-ts must be visible
+      ("a", "2024-01-01 11:00:00", 12L, 3.0), // tie → larger bid wins
+      ("b", "2024-01-01 10:00:00", 13L, 4.0),
+      ("d", "2024-01-01 08:00:00", 14L, 5.0) // build-only entity
+    ).toDF("entity", "ts_s", "bid", "v")
+      .select(col("entity"), col("ts_s").cast("timestamp").as("ts"), col("bid"), col("v"))
+  }
+
+  private def assertSame(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).count() == 0, "v1 rows missing from v2")
+    assert(b.exceptAll(a).count() == 0, "v2 rows missing from v1")
+  }
+
+  test("merge exec ≡ window formulation on the hand fixture (ties, misses)") {
+    val v1 = AsOfJoin.backward(probeDf, buildDf, "entity", "ts", Seq("bid", "v"), buildOrder = Seq("bid"))
+    val v2 = AsOfMerge.backward(probeDf, buildDf, "entity", "ts", Seq("bid", "v"), buildOrder = Seq("bid"))
+    assertSame(v1, v2)
+    // spot-check tie rule: probe at 11:00 sees bid=12 (last among equal ts)
+    val row = v2.where(col("pid") === 2L).select(col("bid")).first()
+    assert(row.getLong(0) == 12L)
+    // entity with no build rows → null match
+    assert(v2.where(col("pid") === 5L).select(col("asof_ts")).first().isNullAt(0))
+  }
+
+  test("merge exec ≡ window formulation with tolerance") {
+    val v1 = AsOfJoin.backward(probeDf, buildDf, "entity", "ts", Seq("bid"), toleranceSec = 1800.0)
+    val v2 = AsOfMerge.backward(probeDf, buildDf, "entity", "ts", Seq("bid"), toleranceSec = 1800.0)
+    assertSame(v1.select(col("pid"), col("asof_ts"), col("bid")), v2.select(col("pid"), col("asof_ts"), col("bid")))
+  }
+
+  test("merge exec ≡ window formulation on events×orders (driver shape)") {
+    val dir = "/root/testdata/sf0.001"
+    val probe = spark.read.parquet(s"$dir/events.parquet").select(col("user_id"), col("ts"), col("event_id"))
+    val build = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"), col("o_orderkey"), col("o_totalprice"))
+    val args = ("user_id", "ts", Seq("o_orderkey", "o_totalprice"))
+    val v1 = AsOfJoin.backward(probe, build, args._1, args._2, args._3, buildOrder = Seq("o_orderkey"))
+      .select(col("event_id"), col("asof_ts"), col("o_orderkey"), col("o_totalprice"))
+    val v2 = AsOfMerge.backward(probe, build, args._1, args._2, args._3, buildOrder = Seq("o_orderkey"))
+      .select(col("event_id"), col("asof_ts"), col("o_orderkey"), col("o_totalprice"))
+    assertSame(v1, v2)
+  }
+
+  test("merge exec plans co-partitioned children, no union sort") {
+    val dir = "/root/testdata/sf0.001"
+    val probe = spark.read.parquet(s"$dir/events.parquet").select(col("user_id"), col("ts"), col("event_id"))
+    val build = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"), col("o_orderkey"))
+    val v2 = AsOfMerge.backward(probe, build, "user_id", "ts", Seq("o_orderkey"))
+    val plan = v2.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMerge"))
+    assert(!plan.contains("Union"), "v2 must not union the sides")
+    assert(!plan.contains("Window"), "v2 must not use window state")
+  }
+}
