@@ -297,6 +297,11 @@ object SparkEntry {
       Sessionize.byDays(traj(sp, dir), S, 7)
         .select(col("traj_id"), col("event_id"), col("seg_id"))),
 
+    // G1 exact-match — the reference's overlapping-suffix segmentation
+    "q_seg_days_overlap" -> ((sp, dir) =>
+      Sessionize.byDaysOverlapping(traj(sp, dir), S, 7)
+        .select(col("traj_id"), col("event_id"), col("seg_id"))),
+
     // As-of join — most recent order per user at event time
     "q_asof_orders" -> ((sp, dir) => {
       val probe = events(sp, dir).select(col("user_id"), col("ts"), col("event_id"))
@@ -521,6 +526,20 @@ object SparkEntry {
         s"""$TrajSql SELECT traj_id, event_id,
            |cast(floor(date_diff('day', min(cast(ts AS date)) OVER (PARTITION BY traj_id), cast(ts AS date)) / 7) AS bigint) AS seg_id
            |FROM traj""".stripMargin,
+      "q_seg_days_overlap" -> {
+        val d = 7L * 86400L * 1000000L
+        s"""$TrajSql, spans AS (
+           |  SELECT traj_id, min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax
+           |  FROM traj GROUP BY traj_id
+           |), segs AS (
+           |  SELECT traj_id, s AS seg_id,
+           |         cast(make_timestamp(tmin + (s - 1) * $d) AS date) AS seg_start
+           |  FROM spans, unnest(generate_series(1, greatest((tmax - tmin - 1) // $d, 0))) AS g(s)
+           |)
+           |SELECT t.traj_id, t.event_id, seg_id
+           |FROM traj t JOIN segs USING (traj_id)
+           |WHERE cast(t.ts AS date) >= seg_start""".stripMargin
+      },
       "q_asof_orders_merge" ->
         """WITH ranked AS (
           |  SELECT e.event_id, o.o_orderdate, o.o_orderkey, o.o_totalprice,

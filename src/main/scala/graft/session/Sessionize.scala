@@ -54,11 +54,39 @@ object Sessionize {
     * days starting at its first date: `seg_id = floor(datediff(date, d0) /
     * numDays)` (statistics.py:29-62). The reference worker's
     * overlapping-suffix behavior (helpers.py:437-459) is a latent bug
-    * (segments pinned to traj max date); we implement the documented intent
-    * and note the deviation. */
+    * (segments pinned to traj max date); this method implements the
+    * documented intent, [[byDaysOverlapping]] the observed behavior. */
   def byDays(df: DataFrame, s: TrajSchema, numDays: Int): DataFrame = {
     val d0 = min(to_date(s.tsCol)).over(s.wAll)
     df.withColumn("seg_id", floor(datediff(to_date(s.tsCol), d0) / numDays))
+  }
+
+  /** G1 exact-match mode — byte-faithful reproduction of the reference
+    * worker's OBSERVED behavior (helpers.py:404-477), overlapping suffixes
+    * included: for each entity with span Δ = t_max − t_min, it emits
+    * K = ⌊(Δ−1)/D⌋ segments (D = numDays in micros; zero segments when the
+    * span fits in one window — the `while t_2 < t_max` gate); segment s
+    * (1-based) contains EVERY row whose Date ≥ date(t_min + (s−1)·D) (the
+    * end bound is pinned to the entity's max, so rows are duplicated across
+    * all suffixes that cover them). Set-based plan: per-entity span agg →
+    * explode the segment index → range join back on the date bound. */
+  def byDaysOverlapping(df: DataFrame, s: TrajSchema, numDays: Int): DataFrame = {
+    val dMicros = numDays.toLong * 86400L * 1000000L
+    val spans = df
+      .groupBy(s.idCol)
+      .agg(
+        min(graft.core.Times.micros(s.tsCol)).as("_tmin"),
+        max(graft.core.Times.micros(s.tsCol)).as("_tmax")
+      )
+      .withColumn("_K", greatest(expr(s"(_tmax - _tmin - 1) div $dMicros"), lit(0L)))
+      .where(col("_K") >= 1L)
+      .select(s.idCol, explode(sequence(lit(1L), col("_K"))).as("seg_id"), col("_tmin"))
+      .withColumn("_seg_start", to_date(timestamp_micros(col("_tmin") + (col("seg_id") - 1L) * dMicros)))
+      .drop("_tmin")
+    df.withColumn("_d", to_date(s.tsCol))
+      .join(spans, Seq(s.id))
+      .where(col("_d") >= col("_seg_start"))
+      .drop("_d", "_seg_start")
   }
 
   /** Per-session summary — bounds, duration, point count, distance sum. */
