@@ -30,36 +30,34 @@ object Hampel {
 
   val MadScale = 1.4826
 
-  /** Median of an already-sorted array column (nulls excluded upstream by
-    * collect_list); even sizes average the middle pair (numpy semantics). */
-  private def medianOfSorted(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val n = size(arr)
-    when(n === 0, lit(null).cast("double"))
-      .otherwise(
-        (element_at(arr, ((n + 1) / 2).cast("int")) + element_at(arr, (n / 2).cast("int") + 1)) / 2.0
-      )
-  }
-
-  /** Flag column variant — appends boolean `_hampel_outlier`. */
+  /** Flag column variant — appends boolean `_hampel_outlier`.
+    *
+    * The decision runs through [[HampelOutlierExpr]] — a native codegen'd
+    * Catalyst expression (two scratch sorts on a primitive buffer) instead
+    * of the 6-step array_sort/transform/element_at chain, which
+    * materialized an UnsafeArrayData per step per row (~3× slower measured
+    * at sf0.1). Semantics unchanged (same middle-pair medians; the DuckDB
+    * oracle still mirrors the declarative formulation). */
   def flagOutliers(df: DataFrame, s: TrajSchema, valueCol: String, k: Int = 5, nSigma: Double = 3.0): DataFrame = {
     require(df.columns.contains(valueCol), s"column $valueCol missing (filters.py raises MissingColumnsException)")
     val frame = s.wRows(-k, k)
     val nBefore = count(lit(1)).over(s.wRows(-k, -1))
     val nAfter = count(lit(1)).over(s.wRows(1, k))
-    val arr = array_sort(collect_list(col(valueCol).cast("double")).over(frame))
-    val withMed = df
-      .withColumn("_arr", arr)
+    val arr = collect_list(col(valueCol).cast("double")).over(frame)
+    val decide = org.apache.spark.sql.GraftSqlBridge.column(
+      HampelOutlierExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("_arr")),
+        org.apache.spark.sql.GraftSqlBridge.expression(col(valueCol).cast("double")),
+        org.apache.spark.sql.GraftSqlBridge.expression(lit(nSigma * MadScale))
+      )
+    )
+    df.withColumn("_arr", arr)
       .withColumn("_full", nBefore === k && nAfter === k)
-      .withColumn("_med", medianOfSorted(col("_arr")))
-    val devs = array_sort(transform(col("_arr"), x => abs(x - col("_med"))))
-    withMed
-      .withColumn("_mad", medianOfSorted(devs))
       .withColumn(
         "_hampel_outlier",
-        col("_full") && col(valueCol).isNotNull &&
-          abs(col(valueCol) - col("_med")) >= col("_mad") * (nSigma * MadScale)
+        col("_full") && col(valueCol).isNotNull && coalesce(decide, lit(false))
       )
-      .drop("_arr", "_full", "_med", "_mad")
+      .drop("_arr", "_full")
   }
 
   /** Drop-rows variant, the reference's behavior. */
