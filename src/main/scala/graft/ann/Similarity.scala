@@ -17,9 +17,15 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential-fold dot product (deterministic order; floats widened to
-    * double). zip_with + aggregate stay inside codegen. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    * double) as a native codegen'd expression ([[DotProductExpr]]) — the
+    * zip_with + aggregate formulation evaluates an interpreted lambda per
+    * element and materializes an intermediate array per row (~5× slower on
+    * the sf0.1 pair joins). Bit-identical fold order. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      DotProductExpr(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
