@@ -130,21 +130,21 @@ object Dedup {
     * poly hashes); fingerprint bit = majority sign. Duplicate tokens weight
     * naturally by frequency. Output: (id, simhash long). */
   def simhash(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
-    val th = df.select(col(id), explode(TextHash.tokenHashes(col(text))).as("h1"))
-    // widen to 62 bits: h = h1·2^31 + h2 where h2 = affine re-hash of h1
-    val h2 = (col("h1") * (2654435761L % TextHash.P) % TextHash.P + 97531L) % TextHash.P
-    val wide = th.withColumn("h", col("h1") * 2147483648L + h2)
-    val voteArr = array((0 until TextHash.simhashBits).map { b =>
-      when(col("h").bitwiseAND(1L << b) =!= 0L, 1).otherwise(-1)
-    }: _*)
-    val bits = wide.select(col(id), posexplode(voteArr).as(Seq("bit", "vote")))
-    bits
-      .groupBy(col(id), col("bit"))
-      .agg(sum(col("vote")).as("s"))
-      .groupBy(col(id))
-      .agg(
-        sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L)).as("simhash")
-      )
+    // codegen'd kernel: one pass per doc over its token hashes — replaces
+    // the explode(tokens) × posexplode(62 votes) + two shuffled groupBys
+    // formulation (62× row blowup; 5.6 s → sub-second at sf0.1). Docs with
+    // zero tokens are dropped, matching the explode formulation (and the
+    // unnest-based oracle).
+    val th = TextHash.tokenHashes(col(text))
+    df.select(
+        col(id),
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.SimHashExpr(
+            org.apache.spark.sql.GraftSqlBridge.expression(th), TextHash.simhashBits)
+        ).as("simhash"),
+        size(th).as("_n"))
+      .where(col("_n") > 0)
+      .drop("_n")
   }
 
   /** Embedding cosine near-duplicate pairs above a threshold, via the

@@ -15,8 +15,18 @@ object TextHash {
 
   val P: Long = 2147483647L // 2^31 − 1 (Mersenne prime)
 
-  /** Polynomial rolling hash of a string: fold h → (h·31 + code) mod P. */
-  def polyHash(text: Column): Column =
+  private def kcol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(e)
+  private def kexp(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftSqlBridge.expression(c)
+
+  /** Polynomial rolling hash of a string: fold h → (h·31 + code) mod P.
+    * Native codegen'd kernel ([[PolyHashExpr]]); [[polyHashHof]] is the
+    * declarative formulation it is parity-tested against. */
+  def polyHash(text: Column): Column = kcol(PolyHashExpr(kexp(text)))
+
+  /** HOF formulation of [[polyHash]] (kept as the parity reference). */
+  def polyHashHof(text: Column): Column =
     aggregate(
       transform(split(text, ""), c => ascii(c).cast("long")),
       lit(0L),
@@ -27,24 +37,22 @@ object TextHash {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), w => w =!= "")
 
-  /** Per-token polynomial hashes. */
-  def tokenHashes(text: Column): Column =
-    transform(tokens(text), w => polyHashOf(w))
+  /** Per-token polynomial hashes (codegen'd kernel). */
+  def tokenHashes(text: Column): Column = kcol(TokenHashesExpr(kexp(text)))
 
-  private def polyHashOf(w: Column): Column =
-    aggregate(
-      transform(split(w, ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (h, c) => (h * 31L + c) % P
-    )
+  /** HOF formulation of [[tokenHashes]] (parity reference). */
+  def tokenHashesHof(text: Column): Column =
+    transform(tokens(text), w => polyHashHof(w))
 
   /** Distinct k-word shingle hashes from a token-hash array:
-    * s_i = (wh_i·31² + wh_{i+1}·31 + … ) mod P, combined pairwise. */
-  def shingleHashes(tokenHashes: Column, k: Int): Column = {
+    * s_i = (wh_i·31² + wh_{i+1}·31 + … ) mod P (codegen'd kernel). */
+  def shingleHashes(tokenHashes: Column, k: Int): Column =
+    kcol(ShingleHashesExpr(kexp(tokenHashes), k))
+
+  /** HOF formulation of [[shingleHashes]] (parity reference): O(n·k) per
+    * row via k shifted zip_with views. */
+  def shingleHashesHof(tokenHashes: Column, k: Int): Column = {
     val n = size(tokenHashes)
-    // O(n) per row: combine k shifted views with zip_with. (A naive
-    // transform+element_at(i+j) re-evaluates the token-hash expression per
-    // element — O(n²) per document, 50× slower in practice.)
     val win = n - (k - 1)
     val combined = (1 until k).foldLeft(slice(tokenHashes, lit(1), win)) { (acc, j) =>
       zip_with(acc, slice(tokenHashes, lit(j + 1), win), (a, b) => (a * 31L + b) % P)
@@ -61,13 +69,13 @@ object TextHash {
   }
 
   /** MinHash signature (array of numHashes mins over the shingle set);
-    * empty shingle set → array of P (sentinel).
-    *
-    * ONE fold over the shingle array computing all hash functions per
-    * element (`aggregate` + `zip_with(min)`): a per-hash-function
-    * `transform` would re-evaluate the (expensive, non-codegen) shingle
-    * expression numHashes times — 16× slower measured. */
-  def minhash(shingles: Column, numHashes: Int): Column = {
+    * empty shingle set → array of P (sentinel). Codegen'd kernel. */
+  def minhash(shingles: Column, numHashes: Int): Column =
+    kcol(MinhashExpr(kexp(shingles), numHashes))
+
+  /** HOF formulation of [[minhash]] (parity reference): ONE fold over the
+    * shingle array computing all hash functions per element. */
+  def minhashHof(shingles: Column, numHashes: Int): Column = {
     val init = array(Seq.fill(numHashes)(lit(P)): _*)
     aggregate(
       shingles,

@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels for the portable text-hash stack ([[TextHash]]). Each mirrors
+  * its declarative formulation value-for-value (same 31-base poly fold mod
+  * 2³¹−1 over codepoints, same affine families, same distinct-keep-first),
+  * so the DuckDB oracles are unchanged — but runs as ONE static call per row
+  * instead of interpreted HOF lambdas per element with intermediate
+  * UnsafeArrayData per step. Whitespace = Java regex \s (the exact class
+  * `split(text, "\\s+")` used): [ \t\n\f\r]. */
+object TextHashKernel {
+
+  private val P = TextHash.P
+
+  @inline private def isSpace(c: Int): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0b || c == '\f' || c == '\r'
+
+  /** polyHash of the whole string (whitespace included) — fingerprinting. */
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31L + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Whitespace tokens → per-token poly hashes (empties dropped). */
+  def tokenHashes(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var h = 0L
+    var inTok = false
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (isSpace(cp)) {
+        if (inTok) { out += h; h = 0L; inTok = false }
+      } else {
+        h = (h * 31L + cp) % P
+        inTok = true
+      }
+      i += Character.charCount(cp)
+    }
+    if (inTok) out += h
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Distinct k-shingle hashes (first-occurrence order), [] when n < k. */
+  def shingleHashes(th: ArrayData, k: Int): ArrayData = {
+    val n = th.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= n - k) {
+      var s = th.getLong(i)
+      var j = 1
+      while (j < k) { s = (s * 31L + th.getLong(i + j)) % P; j += 1 }
+      seen.add(s)
+      i += 1
+    }
+    val arr = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { arr(m) = it.next(); m += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** MinHash signature: numHashes affine mins over the shingle set
+    * (sentinel P for the empty set) — same a_i/b_i family as TextHash. */
+  def minhash(sh: ArrayData, numHashes: Int): ArrayData = {
+    val sig = Array.fill(numHashes)(P)
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      val x = sh.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val a = 2654435761L % P * (2 * j + 1) % P
+        val b = (40503L * (j + 1)) % P
+        val v = (x * a % P + b) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 62-bit SimHash from token hashes (majority sign per bit of the widened
+    * 62-bit hash h = h1·2³¹ + affine(h1)). */
+  def simhash(th: ArrayData, bits: Int): Long = {
+    val votes = new Array[Int](bits)
+    val a = 2654435761L % P
+    val n = th.numElements()
+    var i = 0
+    while (i < n) {
+      val h1 = th.getLong(i)
+      val h2 = (h1 * a % P + 97531L) % P
+      val h = h1 * 2147483648L + h2
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+}
+
+/** Shared plumbing for the unary string/array kernels. */
+abstract class TextKernelUnary extends UnaryExpression {
+  protected def call: String // e.g. "polyHash($c)"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernel.${call.replace("$c", c)}")
+}
+
+case class PolyHashExpr(child: Expression) extends TextKernelUnary {
+  override def dataType: DataType = LongType
+  override protected def call: String = "polyHash($c)"
+  override protected def nullSafeEval(s: Any): Any =
+    TextHashKernel.polyHash(s.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): PolyHashExpr = copy(child = c)
+}
+
+case class TokenHashesExpr(child: Expression) extends TextKernelUnary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def call: String = "tokenHashes($c)"
+  override protected def nullSafeEval(s: Any): Any =
+    TextHashKernel.tokenHashes(s.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): TokenHashesExpr = copy(child = c)
+}
+
+case class ShingleHashesExpr(child: Expression, k: Int) extends TextKernelUnary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def call: String = s"shingleHashes($$c, $k)"
+  override protected def nullSafeEval(a: Any): Any =
+    TextHashKernel.shingleHashes(a.asInstanceOf[ArrayData], k)
+  override protected def withNewChildInternal(c: Expression): ShingleHashesExpr = copy(child = c)
+}
+
+case class MinhashExpr(child: Expression, numHashes: Int) extends TextKernelUnary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def call: String = s"minhash($$c, $numHashes)"
+  override protected def nullSafeEval(a: Any): Any =
+    TextHashKernel.minhash(a.asInstanceOf[ArrayData], numHashes)
+  override protected def withNewChildInternal(c: Expression): MinhashExpr = copy(child = c)
+}
+
+case class SimHashExpr(child: Expression, bits: Int) extends TextKernelUnary {
+  override def dataType: DataType = LongType
+  override protected def call: String = s"simhash($$c, $bits)"
+  override protected def nullSafeEval(a: Any): Any =
+    TextHashKernel.simhash(a.asInstanceOf[ArrayData], bits)
+  override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(child = c)
+}
