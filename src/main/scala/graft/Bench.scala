@@ -87,7 +87,7 @@ object Bench {
     // kernel, zero shuffle). Default both.
     val paths = sys.env.getOrElse("SPARK_GRAFT_PATHS", "window,grouped").split(",").map(_.trim).toSet
     val corpusPath = ensureCorpus(spark, nDocs)
-    val (tokens, _) = flagship(spark, corpusPath)
+    val (tokens, flagshipOut) = flagship(spark, corpusPath)
     // per-run shuffle volume via a stage-metrics listener (protocol in
     // BASELINE.md asks for shuffle bytes alongside throughput)
     val shufWrite = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -107,7 +107,6 @@ object Bench {
         }
       }
     })
-    val (_, flagshipOut) = flagship(spark, corpusPath)
     def once(): Double = {
       val t0 = System.nanoTime()
       flagshipOut.write.mode("overwrite").format("noop").save()

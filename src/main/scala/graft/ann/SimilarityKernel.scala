@@ -10,6 +10,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * per element) so results are bit-identical to the zip_with/aggregate
   * chain AND to the DuckDB oracle's list_reduce. */
 object SimilarityKernel {
+  /** Any null element? (zip_with's fold null-poisons; the kernel must too.) */
+  def hasNull(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
   def dotF(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     var s = 0.0
@@ -51,22 +59,34 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
   private def kernel: String =
     if (elemType(left) == FloatType) "dotF" else "dotD"
 
+  // null-element scan only when the schema admits nulls (cheap flag check)
+  private def mayHaveNulls: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val aa = a.asInstanceOf[ArrayData]; val bb = b.asInstanceOf[ArrayData]
     if (aa.numElements() != bb.numElements()) null
+    else if (mayHaveNulls && (SimilarityKernel.hasNull(aa) || SimilarityKernel.hasNull(bb))) null
     else if (elemType(left) == FloatType) SimilarityKernel.dotF(aa, bb)
     else SimilarityKernel.dotD(aa, bb)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nullScan =
+      if (mayHaveNulls)
+        (a: String, b: String) =>
+          s" || graft.ann.SimilarityKernel.hasNull($a) || graft.ann.SimilarityKernel.hasNull($b)"
+      else (_: String, _: String) => ""
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |if ($a.numElements() != $b.numElements()) {
+         |if ($a.numElements() != $b.numElements()${nullScan(a, b)}) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = graft.ann.SimilarityKernel.$kernel($a, $b);
          |}
        """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpr =

@@ -57,20 +57,31 @@ object AsOfMerge {
     if (!spark.experimental.extraStrategies.contains(AsOfMergeStrategy)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfMergeStrategy
     }
-    // align key types across sides (v1 got this from the union's coercion)
-    val probeSchema = probe.schema
+    // Align key types across sides by WIDENING both to the type the v1
+    // union would coerce to (derived by literally unioning one-column
+    // projections — the exact same analyzer rule), not by casting build
+    // down to probe's type (a Date-probe × Timestamp-build would otherwise
+    // truncate build times and change matches vs v1).
+    def unionType(c: String) =
+      probe.select(col(c).as("_t")).unionByName(build.select(col(c).as("_t"))).schema("_t").dataType
+    val entityType = unionType(entity)
+    val tsType = unionType(ts)
+    val probeAligned = probe
+      .withColumn(entity, col(entity).cast(entityType))
+      .withColumn(ts, col(ts).cast(tsType))
     val buildAligned = build
-      .withColumn(entity, col(entity).cast(probeSchema(entity).dataType))
-      .withColumn(ts, col(ts).cast(probeSchema(ts).dataType))
+      .withColumn(entity, col(entity).cast(entityType))
+      .withColumn(ts, col(ts).cast(tsType))
     val buildPlan = buildAligned.queryExecution.analyzed
     val buildTsAttr = buildPlan.output.find(_.name == ts).get
     // the produced attribute lives in the node's constructor so copy()/
     // withNewChildren preserve its exprId (parents keep resolving)
     val asofTs = AttributeReference("asof_ts", buildTsAttr.dataType, nullable = true)()
     val plan = AsOfMergePlan(
-      probe.queryExecution.analyzed, buildPlan,
+      probeAligned.queryExecution.analyzed, buildPlan,
       entity, ts, valueCols, toleranceSec, buildOrder, asofTs
     )
+    // output keeps the widened key types — exactly what v1's union emits
     GraftSqlBridge.ofRows(spark, plan)
   }
 }
@@ -194,6 +205,10 @@ case class AsOfMergeExec(
 
       probeIter.map { p =>
         val pk = probeKeyGen(p)
+        // copy() per consumed row is REQUIRED, not an optimization miss:
+        // sorter iterators reuse one UnsafeRow object, and the loop
+        // condition's buffered.head materializes the NEXT row into that
+        // same object — any retained reference must own its bytes.
         while (buffered.hasNext && keyOrdering.compare(buildKeyGen(buffered.head), pk) <= 0) {
           lastBuild = buffered.next().copy()
         }

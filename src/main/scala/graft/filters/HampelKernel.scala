@@ -16,13 +16,19 @@ object HampelKernel {
     val n = arr.numElements()
     if (n == 0) return false
     val buf = arr.toDoubleArray()
-    java.util.Arrays.sort(buf)
+    java.util.Arrays.sort(buf) // Arrays.sort = NaN-last, like Spark's array_sort on doubles
     val med = (buf((n - 1) / 2) + buf(n / 2)) / 2.0
     var i = 0
     while (i < n) { buf(i) = math.abs(buf(i) - med); i += 1 }
     java.util.Arrays.sort(buf)
     val mad = (buf((n - 1) / 2) + buf(n / 2)) / 2.0
-    math.abs(value - med) >= mad * factor
+    // Spark's SQL double comparison is nan-safe with NaN greatest — a NaN
+    // deviation (NaN value or NaN median) compares >= any threshold, so the
+    // row IS flagged, matching the declarative chain this kernel replaced
+    // (Java's `NaN >= x` being false would silently keep such rows).
+    val dev = math.abs(value - med)
+    val thr = mad * factor
+    if (dev.isNaN) true else if (thr.isNaN) false else dev >= thr
   }
 }
 

@@ -78,15 +78,16 @@ object TextHashKernel {
     * (sentinel P for the empty set) — same a_i/b_i family as TextHash. */
   def minhash(sh: ArrayData, numHashes: Int): ArrayData = {
     val sig = Array.fill(numHashes)(P)
+    // loop-invariant affine coefficients hoisted out of the per-shingle loop
+    val as = Array.tabulate(numHashes)(j => 2654435761L % P * (2 * j + 1) % P)
+    val bs = Array.tabulate(numHashes)(j => (40503L * (j + 1)) % P)
     val n = sh.numElements()
     var i = 0
     while (i < n) {
       val x = sh.getLong(i)
       var j = 0
       while (j < numHashes) {
-        val a = 2654435761L % P * (2 * j + 1) % P
-        val b = (40503L * (j + 1)) % P
-        val v = (x * a % P + b) % P
+        val v = (x * as(j) % P + bs(j)) % P
         if (v < sig(j)) sig(j) = v
         j += 1
       }

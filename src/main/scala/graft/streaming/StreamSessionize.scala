@@ -57,10 +57,14 @@ object StreamSessionize {
       rows: Iterator[Point],
       state: GroupState[SessState]
   ): Iterator[SessionAssign] = {
-    val sorted = rows.toArray.sortBy(_.ts.getTime) // within-batch order only
+    // full microsecond precision: Timestamp.getTime is millis-truncated,
+    // the sub-milli part lives in getNanos (batch byGap compares micros)
+    def micros(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val sorted = rows.toArray.sortBy(p => micros(p.ts)) // within-batch order only
     var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
     val out = sorted.map { p =>
-      val tsMicros = p.ts.getTime * 1000L
+      val tsMicros = micros(p.ts)
       val newSession = st.lastTsMicros != Long.MinValue && tsMicros - st.lastTsMicros > gapMicros
       st = SessState(tsMicros, if (newSession) st.sessionId + 1 else st.sessionId)
       SessionAssign(entity, p.ts, st.sessionId)

@@ -69,6 +69,17 @@ class AsOfMergeSpec extends SparkSpec {
     assertSame(v1, v2)
   }
 
+  test("mixed key types widen like v1's union (date build × timestamp probe)") {
+    // build ts as DATE: midnight boundary semantics must match v1's
+    // widening, not a downcast of the probe
+    val build = buildDf.select(col("entity"), col("ts").cast("date").as("ts"), col("bid"))
+    val v1 = AsOfJoin.backward(probeDf, build, "entity", "ts", Seq("bid"), buildOrder = Seq("bid"))
+      .select(col("pid"), col("asof_ts").cast("timestamp").as("asof_ts"), col("bid"))
+    val v2 = AsOfMerge.backward(probeDf, build, "entity", "ts", Seq("bid"), buildOrder = Seq("bid"))
+      .select(col("pid"), col("asof_ts").cast("timestamp").as("asof_ts"), col("bid"))
+    assertSame(v1, v2)
+  }
+
   test("merge exec plans co-partitioned children, no union sort") {
     val dir = "/root/testdata/sf0.001"
     val probe = spark.read.parquet(s"$dir/events.parquet").select(col("user_id"), col("ts"), col("event_id"))
