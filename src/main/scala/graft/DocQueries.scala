@@ -88,6 +88,9 @@ object DocQueries {
       TextFeatures.withFingerprint(docs(sp, dir)).select(col("doc_id"), col("fingerprint"))),
     "q_txt_min_shingle" -> ((sp, dir) =>
       TextFeatures.withMinShingle(docs(sp, dir)).select(col("doc_id"), col("min_shingle"))),
+    "q_txt_token_counts" -> ((sp, dir) =>
+      TextFeatures.withTokenCounts(docs(sp, dir))
+        .select(col("doc_id"), col("n_tokens_ws"), col("n_tokens_bpeish"))),
 
     // ---- dedup ----
     "q_dedup_exact" -> ((sp, dir) => Dedup.exact(docs(sp, dir))),
@@ -113,6 +116,14 @@ object DocQueries {
       Similarity.lshTopK(
         e.where(col("vec_id") < 30).select(col("vec_id").as("query_id"), col("embedding")),
         e, k = 5, planes = 6
+      )
+    }),
+    // IVF path: hash-seeded centroids + 2 Lloyd rounds ⇒ rows-only check
+    "q_sim_ivf_topk" -> ((sp, dir) => {
+      val e = embs(sp, dir)
+      Similarity.ivfTopK(
+        e.where(col("vec_id") < 30).select(col("vec_id").as("query_id"), col("embedding")),
+        e, k = 5, nCentroids = 16, nProbe = 4
       )
     }),
 
@@ -238,6 +249,10 @@ object DocQueries {
            |h AS (SELECT doc_id, $hitCols FROM t)
            |SELECT doc_id, hits_en, hits_de, hits_fr, hits_es, ${fold._1} AS lang_pred FROM h""".stripMargin
       },
+      "q_txt_token_counts" ->
+        s"""SELECT doc_id, len($sqlToks) AS n_tokens_ws,
+           |len(regexp_extract_all(text, ' ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS n_tokens_bpeish
+           |FROM documents""".stripMargin,
       "q_txt_fingerprint" ->
         s"""SELECT doc_id, ${sqlPoly("text")} AS fingerprint FROM documents""",
       "q_txt_min_shingle" ->

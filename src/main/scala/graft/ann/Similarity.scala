@@ -104,4 +104,90 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
   }
+
+  /** IVF coarse quantizer: `nCentroids` centroids picked deterministically
+    * (hash-ranked corpus rows as seeds) and refined by `lloydIters` rounds
+    * of pure DataFrame k-means (assign via broadcast argmin, re-average).
+    * Returns (centroid_id, centroid array<double>). At 100 TB: centroids
+    * are a broadcast-sized table, assignment is a map-side argmin over the
+    * corpus scan, each Lloyd round is ONE groupBy(centroid) agg. */
+  def ivfCentroids(
+      corpus: DataFrame,
+      nCentroids: Int,
+      lloydIters: Int = 2,
+      corpusId: String = "vec_id",
+      vec: String = "embedding"
+  ): DataFrame = {
+    val asDouble = transform(col(vec), x => x.cast("double"))
+    var cents = corpus
+      .select(col(corpusId), asDouble.as("centroid"))
+      .withColumn("_r", xxhash64(lit("graft-ivf"), col(corpusId)))
+      .orderBy(col("_r"))
+      .limit(nCentroids)
+      .select((row_number().over(Window.orderBy(col("_r"))) - 1).as("centroid_id"), col("centroid"))
+    for (_ <- 1 to lloydIters) {
+      val assigned = assignToCentroids(corpus, cents, corpusId, vec)
+      // element-wise mean: fold-sum the member vectors, divide by count
+      val sums = aggregate(
+        collect_list(col("_v")),
+        array().cast("array<double>"),
+        (acc, x) => when(size(acc) === 0, x).otherwise(zip_with(acc, x, (a, b) => a + b))
+      )
+      cents = assigned
+        .groupBy(col("centroid_id"))
+        .agg(sums.as("_sums"), count(lit(1)).as("_n"))
+        .select(col("centroid_id"), transform(col("_sums"), s => s / col("_n")).as("centroid"))
+    }
+    cents
+  }
+
+  /** Nearest centroid per corpus row (broadcast argmin, deterministic
+    * ties by centroid id). Adds (_v array<double>, centroid_id). */
+  private def assignToCentroids(
+      corpus: DataFrame, cents: DataFrame, corpusId: String, vec: String): DataFrame = {
+    val v = transform(col(vec), x => x.cast("double"))
+    corpus.select(col(corpusId), v.as("_v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("_d", dot(col("_v"), col("_v")) - lit(2.0) * dot(col("_v"), col("centroid"))
+        + dot(col("centroid"), col("centroid")))
+      .groupBy(col(corpusId), col("_v"))
+      .agg(min(struct(col("_d"), col("centroid_id"))).as("_nc"))
+      .select(col(corpusId), col("_v"), col("_nc.centroid_id").as("centroid_id"))
+  }
+
+  /** IVF top-k: probe the `nProbe` nearest inverted lists per query, exact
+    * cosine re-rank inside them. Recall < 1 by construction (like LSH);
+    * the scale win is touching nProbe/nCentroids of the corpus per query. */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      queryId: String = "query_id",
+      corpusId: String = "vec_id",
+      vec: String = "embedding"
+  ): DataFrame = {
+    val cents = ivfCentroids(corpus, nCentroids, lloydIters = 2, corpusId, vec).cache()
+    val lists = assignToCentroids(corpus, cents, corpusId, vec)
+      .join(corpus.select(col(corpusId), col(vec).as("_cv")), Seq(corpusId))
+      .select(col(corpusId), col("centroid_id"), col("_cv"), norm(col("_cv")).as("_cn"))
+    val qv = transform(col(vec), x => x.cast("double"))
+    val probes = queries.select(col(queryId), col(vec).as("_qv"), qv.as("_qd"))
+      .crossJoin(broadcast(cents))
+      .withColumn("_d", dot(col("_qd"), col("_qd")) - lit(2.0) * dot(col("_qd"), col("centroid"))
+        + dot(col("centroid"), col("centroid")))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy(col(queryId)).orderBy(col("_d"), col("centroid_id"))))
+      .where(col("_pr") <= nProbe)
+      .select(col(queryId), col("_qv"), norm(col("_qv")).as("_qn"), col("centroid_id"))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
+    lists.join(broadcast(probes), Seq("centroid_id"))
+      .where(col(queryId) =!= col(corpusId))
+      .withColumn("cosine",
+        round(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6) + 0.0)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+  }
 }

@@ -20,6 +20,17 @@ object TextFeatures {
   def withTokenCount(df: DataFrame, text: String = "text"): DataFrame =
     df.withColumn("n_tokens", size(TextHash.tokens(col(text))))
 
+  /** BPE-ish pre-tokenizer regex (GPT-2 style simplified to an RE2-safe
+    * subset — letter runs, digit runs, punctuation runs, each with optional
+    * leading space): the usual cheap proxy for "how many tokens will the
+    * tokenizer emit" in training-data accounting. */
+  val BpeIshPattern: String = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Token accounting: whitespace tokens + BPE-ish regex pieces. */
+  def withTokenCounts(df: DataFrame, text: String = "text"): DataFrame =
+    df.withColumn("n_tokens_ws", size(TextHash.tokens(col(text))))
+      .withColumn("n_tokens_bpeish", size(regexp_extract_all(col(text), lit(BpeIshPattern), lit(0))))
+
   /** Quality features: exact ratios of character classes + mean token
     * length + a composite score. All divisions are single correctly-rounded
     * IEEE ops on integers → bit-identical across engines. */

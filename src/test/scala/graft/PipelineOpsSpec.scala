@@ -104,6 +104,17 @@ class SimilaritySpec extends SparkSpec {
     // bucket of 0 and 1 coincide under any hyperplane set (tiny angle) w.h.p.
     assert(top.isEmpty || top.head == 1L)
   }
+
+  test("IVF top-k: probing every list equals brute force; results deterministic") {
+    val q = vecs.where($"vec_id" < 3).select($"vec_id".as("query_id"), $"embedding")
+    // nProbe == nCentroids ⇒ exhaustive ⇒ must equal the brute-force ranks
+    val ivf = Similarity.ivfTopK(q, vecs, k = 3, nCentroids = 2, nProbe = 2)
+    val bf = Similarity.cosineTopK(q, vecs, k = 3)
+    assert(ivf.exceptAll(bf).count() == 0 && bf.exceptAll(ivf).count() == 0)
+    // determinism: same call twice, identical output
+    val again = Similarity.ivfTopK(q, vecs, k = 3, nCentroids = 2, nProbe = 2)
+    assert(ivf.exceptAll(again).count() == 0 && again.exceptAll(ivf).count() == 0)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
