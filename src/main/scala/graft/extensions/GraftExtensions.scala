@@ -20,7 +20,8 @@ import org.apache.spark.sql.catalyst.expressions._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, "", name, usage, "",
+      "", "", "", "", "", "built-in")
 
   /** Geo.haversine as a raw catalyst tree (same op order ⇒ same bits). */
   def haversineExpr(lat1: Expression, lon1: Expression, lat2: Expression, lon2: Expression): Expression = {

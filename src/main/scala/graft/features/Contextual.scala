@@ -51,7 +51,7 @@ object Contextual {
     val pred = abs(Geo.haversine(s.latCol, s.lonCol, col("_slat"), col("_slon")) - col("_sdist")) <= thresholdM
     val hits = df.join(sur, pred, "left_semi").withColumn("Nearby_POI", lit(true))
     df.join(
-      hits.select((df.columns.map(col) :+ col("Nearby_POI")): _*),
+      hits.select((df.columns.toIndexedSeq.map(col) :+ col("Nearby_POI")): _*),
       df.columns.toSeq,
       "left"
     ).withColumn("Nearby_POI", coalesce(col("Nearby_POI"), lit(false)))
