@@ -26,6 +26,7 @@ object Explain {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", s"${sys.props("java.io.tmpdir")}/graft_wh_${System.nanoTime()}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -83,6 +84,20 @@ object Explain {
     val asofExchanges = "Exchange hashpartitioning".r.findAllIn(asofPlan).length
     check(s"asof: single exchange over the union, got $asofExchanges")(asofExchanges == 1)
     check("asof: no nested loop")(!asofPlan.contains("NestedLoop"))
+
+    // --- as-of merge on BUCKETED sides: both exchanges elided ---
+    // (the scale advantage of the custom exec: pre-clustered storage layouts
+    // satisfy its required distribution, so EnsureRequirements plans sorts
+    // only — the union+window v1 can never skip its exchange)
+    probe.write.mode("overwrite").bucketBy(4, "user_id").saveAsTable("probe_b")
+    build.write.mode("overwrite").bucketBy(4, "user_id").saveAsTable("build_b")
+    val asofBucketed = graft.asof.AsOfMerge.backward(
+      spark.table("probe_b"), spark.table("build_b"), "user_id", "ts",
+      Seq("o_orderkey", "o_totalprice"), buildOrder = Seq("o_orderkey"))
+    val bucketedPlan = asofBucketed.queryExecution.executedPlan.toString
+    println("=== as-of join over bucketed tables (exchange-free) ===")
+    val bucketedExchanges = "Exchange hashpartitioning".r.findAllIn(bucketedPlan).length
+    check(s"asof bucketed: ZERO exchanges, got $bucketedExchanges")(bucketedExchanges == 0)
 
     // --- grouped kernel: zero exchanges ---
     val grouped = graft.features.TokenKernel.docVectors(corpus.toDF())
