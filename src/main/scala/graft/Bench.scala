@@ -26,21 +26,11 @@ object Bench {
     * any of the work). One shuffle for the window chain + one for the agg. */
   def flagship(spark: SparkSession, corpusPath: String): (Long, DataFrame) = {
     val corpus = spark.read.parquet(corpusPath)
-    // Shuffle COMPACT sequences, not exploded rows: hash-cluster the corpus
-    // by doc_id first (~4 B/token through the exchange instead of ~28 B for
-    // the exploded grid). GenerateExec preserves the child partitioning, so
-    // the window's requirement is already satisfied — no second exchange
-    // (Explain gate asserts 1). Controlled by SPARK_GRAFT_PRESHUFFLE=0 for
-    // A/B measurement.
-    val clustered =
-      if (sys.env.get("SPARK_GRAFT_PRESHUFFLE").contains("0")) corpus
-      else corpus.repartition(col("doc_id"))
-    val (grid, ts) = TokenAdapter.explodeTokens(clustered)
-    val kin = Kinematic.withKinematics(grid, ts)
-    val ses = Sessionize.byGap(kin, ts, gapSeconds = 1.5)
-    val aggs = Kinematic.AllFeatures.map(f => sum(col(f)).as(s"sum_$f")) :+
-      max(col("session_id")).as("n_sessions") :+ count(lit(1)).as("n")
-    val out = ses.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    // SPARK_GRAFT_PRESHUFFLE=0 disables the compact pre-shuffle for A/B
+    // measurement (see FlagshipJob — the one definition Bench/Explain/
+    // RunPipeline all share).
+    val out = graft.pipeline.FlagshipJob.windowConsumeAll(
+      corpus, preShuffleCompact = !sys.env.get("SPARK_GRAFT_PRESHUFFLE").contains("0"))
     val tokens = corpus.agg(sum(col("n_tok"))).first().getLong(0)
     (tokens, out)
   }
@@ -121,16 +111,21 @@ object Bench {
       flagshipOut.write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // stage-completed events are delivered asynchronously; give the bus a
+    // moment to drain before reading the accumulated shuffle bytes
+    def drainListeners(): Unit = Thread.sleep(1000)
     val (flagshipSec, shufWriteRun, shufReadRun) = if (paths("window")) {
       once() // warmup
+      drainListeners()
       shufWrite.set(0L); shufRead.set(0L)
       val times = (1 to reps).map(_ => once()).sorted
+      drainListeners()
       (times(times.length / 2), shufWrite.get() / math.max(reps, 1), shufRead.get() / math.max(reps, 1))
     } else (0.0, 0L, 0L)
     val tps = if (flagshipSec > 0) tokens / flagshipSec else 0.0
 
     // --- grouped (shuffle-free) flagship: typed per-doc kernel ---
-    val groupedSec = if (paths("grouped")) {
+    val (groupedSec, gShufWrite) = if (paths("grouped")) {
       val groupedOut = graft.features.TokenKernel
         .docVectors(spark.read.parquet(corpusPath), stepSec = 1L, gapSeconds = 1.5)
       def onceGrouped(): Double = {
@@ -139,9 +134,13 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       onceGrouped() // warmup
+      drainListeners()
+      shufWrite.set(0L)
       val gTimes = (1 to reps).map(_ => onceGrouped()).sorted
-      gTimes(gTimes.length / 2)
-    } else 0.0
+      drainListeners()
+      // must stay 0 — a shuffle regression in the grouped plan shows here
+      (gTimes(gTimes.length / 2), shufWrite.get() / math.max(reps, 1))
+    } else (0.0, 0L)
     val gTps = if (groupedSec > 0) tokens / groupedSec else 0.0
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
@@ -150,7 +149,7 @@ object Bench {
     val flagS = f"$flagshipSec%.3f"
     val groupedS = f"$groupedSec%.3f"
     println(
-      s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"tokens":$tokens,"flagship_sec":$flagS,"tokens_per_sec":${tps.toLong},"grouped_sec":$groupedS,"grouped_tokens_per_sec":${gTps.toLong},"shuffle_write_bytes":$shufWriteRun,"shuffle_read_bytes":$shufReadRun,"shuffle_partitions":$shufflePartitions,"input_partitions":256}"""
+      s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"tokens":$tokens,"flagship_sec":$flagS,"tokens_per_sec":${tps.toLong},"grouped_sec":$groupedS,"grouped_tokens_per_sec":${gTps.toLong},"shuffle_write_bytes":$shufWriteRun,"shuffle_read_bytes":$shufReadRun,"grouped_shuffle_write_bytes":$gShufWrite,"shuffle_partitions":$shufflePartitions,"input_partitions":256}"""
     )
     spark.stop()
   }

@@ -251,7 +251,7 @@ object DocQueries {
       },
       "q_txt_token_counts" ->
         s"""SELECT doc_id, len($sqlToks) AS n_tokens_ws,
-           |len(regexp_extract_all(text, ' ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS n_tokens_bpeish
+           |len(regexp_extract_all(text, ' ?[\\p{L}]+| ?[\\p{N}]+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\x0B\\f\\r]+')) AS n_tokens_bpeish
            |FROM documents""".stripMargin,
       "q_txt_fingerprint" ->
         s"""SELECT doc_id, ${sqlPoly("text")} AS fingerprint FROM documents""",

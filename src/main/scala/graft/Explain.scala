@@ -35,13 +35,10 @@ object Explain {
     def check(name: String)(cond: Boolean): Unit =
       if (!cond) failures ::= name
 
-    // --- flagship window chain ---
+    // --- flagship window chain (the exact job Bench times and RunPipeline
+    // ships — one shared definition in FlagshipJob) ---
     val corpus = SyntheticCorpus.generate(spark, 1000)
-    val (grid, ts) = TokenAdapter.explodeTokens(corpus)
-    val ses = Sessionize.byGap(Kinematic.withKinematics(grid, ts), ts, 1.5)
-    val aggs = Kinematic.AllFeatures.map(f => sum(col(f)).as(s"sum_$f")) :+
-      max(col("session_id")).as("n_sessions") :+ count(lit(1)).as("n")
-    val flag = ses.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val flag = graft.pipeline.FlagshipJob.windowConsumeAll(corpus)
     val flagPlan = flag.queryExecution.executedPlan.toString
     println("=== flagship window chain (explode → 8-feature window → sessionize → agg) ===")
     flag.explain("formatted")

@@ -42,18 +42,27 @@ object RunPipeline {
 
     val corpus = SyntheticCorpus.generate(spark, nDocs).cache()
     val runner = Pipeline.local(outRoot)
+
+    // Resume is only valid against the SAME job config: a manifest written
+    // by a different (nDocs, nBuckets, path) run would silently mix stale
+    // buckets into readStage's glob. Fingerprint and refuse on mismatch.
+    val fingerprint = s"""{"docs":$nDocs,"buckets":$nBuckets,"path":"$pathKind"}"""
+    val fpPath = java.nio.file.Paths.get(s"$outRoot/_config.json")
+    if (java.nio.file.Files.exists(fpPath)) {
+      val prev = java.nio.file.Files.readString(fpPath)
+      require(prev == fingerprint,
+        s"outRoot $outRoot holds a run with different config $prev — use a fresh outRoot for $fingerprint")
+    } else {
+      java.nio.file.Files.createDirectories(fpPath.getParent)
+      java.nio.file.Files.writeString(fpPath, fingerprint)
+    }
+    val resumedS1 = runner.completedBuckets("feature_vectors").size
     val t0 = System.nanoTime()
 
     // stage 1: per-doc feature vectors, bucketed by entity, lineage per bucket
     val stage1 = runner.runStage("feature_vectors", corpus, "doc_id", nBuckets) { in =>
-      if (pathKind == "grouped") TokenKernel.docVectors(in).toDF()
-      else {
-        val (grid, ts) = TokenAdapter.explodeTokens(in)
-        val ses = Sessionize.byGap(Kinematic.withKinematics(grid, ts), ts, gapSeconds = 1.5)
-        val aggs = Kinematic.AllFeatures.map(f => sum(col(f)).as(s"sum_$f")) :+
-          max(col("session_id")).as("n_sessions") :+ count(lit(1)).as("n")
-        ses.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      }
+      if (pathKind == "grouped") graft.pipeline.FlagshipJob.groupedConsumeAll(in)
+      else graft.pipeline.FlagshipJob.windowConsumeAll(in)
     }
 
     // stage 2: source-level rollup of stage-1 output (reads committed stage)
@@ -74,7 +83,6 @@ object RunPipeline {
 
     val wall = (System.nanoTime() - t0) / 1e9
     val vecRows = runner.readStage(spark, "feature_vectors").count()
-    val resumedS1 = nBuckets - stage1.size
     println(
       s"""{"pipeline":"ok","out":"$outRoot","path":"$pathKind","docs":$nDocs,""" +
         s""""vector_rows":$vecRows,"stage1_buckets_run":${stage1.size},"stage1_buckets_resumed":$resumedS1,""" +

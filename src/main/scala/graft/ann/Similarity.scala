@@ -168,7 +168,11 @@ object Similarity {
       corpusId: String = "vec_id",
       vec: String = "embedding"
   ): DataFrame = {
-    val cents = ivfCentroids(corpus, nCentroids, lloydIters = 2, corpusId, vec).cache()
+    // centroids are nCentroids rows — materialize ONCE to a local relation
+    // (broadcast-sized, no lineage to re-execute, nothing left cached)
+    val centsBig = ivfCentroids(corpus, nCentroids, lloydIters = 2, corpusId, vec)
+    val cents = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centsBig.collect(): _*), centsBig.schema)
     val lists = assignToCentroids(corpus, cents, corpusId, vec)
       .join(corpus.select(col(corpusId), col(vec).as("_cv")), Seq(corpusId))
       .select(col(corpusId), col("centroid_id"), col("_cv"), norm(col("_cv")).as("_cn"))

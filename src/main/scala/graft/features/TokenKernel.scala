@@ -38,19 +38,21 @@ object TokenKernel {
 
   /** Per-document consumed feature vector (same aggregates as the bench
     * flagship's consume-all groupBy: null-skipping sums over every feature,
-    * max session id, row count). */
+    * max session id, row count). Sums are Options: a SQL sum over an
+    * all-null column is NULL (short docs — e.g. sum_Jerk of a 3-token doc),
+    * and the kernel must agree with the window path there too. */
   case class DocVector(
       doc_id: String,
       n: Long,
       n_sessions: Long,
-      sum_Distance: Double,
-      sum_Distance_from_start: Double,
-      sum_Speed: Double,
-      sum_Acceleration: Double,
-      sum_Jerk: Double,
-      sum_Bearing: Double,
-      sum_Bearing_Rate: Double,
-      sum_Rate_of_bearing_rate: Double
+      sum_Distance: Option[Double],
+      sum_Distance_from_start: Option[Double],
+      sum_Speed: Option[Double],
+      sum_Acceleration: Option[Double],
+      sum_Jerk: Option[Double],
+      sum_Bearing: Option[Double],
+      sum_Bearing_Rate: Option[Double],
+      sum_Rate_of_bearing_rate: Option[Double]
   )
 
   /** Per-token row for parity testing against the window path. */
@@ -120,12 +122,15 @@ object TokenKernel {
     private val gapMicros: Long = (gapSeconds * 1e6).toLong
     private val boundary: Boolean = dtMicros > gapMicros
 
-    // normalized null-skipping accumulate
-    @inline private def acc(sum: Double, v: Double): Double = if (v != v) sum else sum + v
+    // normalized null-skipping accumulate; NaN marks "no contribution yet"
+    // so an all-null feature sums to None like SQL's null-skipping sum
+    @inline private def acc(sum: Double, v: Double): Double =
+      if (v != v) sum else if (sum != sum) v else sum + v
+    @inline private def opt(sum: Double): Option[Double] = if (sum != sum) None else Some(sum)
 
     def run(r: SeqRow, emit: TokenRow => Unit): DocVector = {
       val n = r.tokens.length
-      var sDist, sDistStart, sSpeed, sAcc, sJerk, sBrg, sBrate, sRobr = 0.0
+      var sDist, sDistStart, sSpeed, sAcc, sJerk, sBrg, sBrate, sRobr = Double.NaN
       var pLat, pLon = 0.0
       var lat0, lon0 = 0.0
       var pSpeed, pAcc, pBrg, pBrate = Double.NaN
@@ -160,7 +165,8 @@ object TokenKernel {
         pSpeed = speed; pAcc = accel; pBrg = brg; pBrate = brate
         i += 1
       }
-      DocVector(r.doc_id, n, sessions, sDist, sDistStart, sSpeed, sAcc, sJerk, sBrg, sBrate, sRobr)
+      DocVector(r.doc_id, n, sessions, opt(sDist), opt(sDistStart), opt(sSpeed),
+        opt(sAcc), opt(sJerk), opt(sBrg), opt(sBrate), opt(sRobr))
     }
   }
 
@@ -170,6 +176,9 @@ object TokenKernel {
     val state = new DocState(stepSec, gapSeconds)
     corpus
       .select("doc_id", "tokens")
+      // null/empty token arrays produce no grid rows in the window path
+      // (posexplode emits nothing) ⇒ no output doc there either
+      .where(org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("tokens")) > 0)
       .as(Encoders.product[SeqRow])
       .map(r => state.run(r, null))(Encoders.product[DocVector])
   }
@@ -179,6 +188,7 @@ object TokenKernel {
     val state = new DocState(stepSec, gapSeconds)
     corpus
       .select("doc_id", "tokens")
+      .where(org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("tokens")) > 0)
       .as(Encoders.product[SeqRow])
       .flatMap { r =>
         val buf = new scala.collection.mutable.ArrayBuffer[TokenRow](r.tokens.length)

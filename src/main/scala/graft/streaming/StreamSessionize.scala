@@ -63,11 +63,20 @@ object StreamSessionize {
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     val sorted = rows.toArray.sortBy(p => micros(p.ts)) // within-batch order only
     var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
-    val out = sorted.map { p =>
+    // Cross-batch stragglers (ts < already-emitted state) are DROPPED, not
+    // processed: in append mode earlier assignments cannot be revised, and
+    // rewinding lastTs would corrupt the gap decision for every later row
+    // (a -30s "gap" followed by a spurious new session). Within-entity
+    // order across micro-batches is the operator's documented contract;
+    // this makes violations safe instead of silently wrong.
+    val out = sorted.flatMap { p =>
       val tsMicros = micros(p.ts)
-      val newSession = st.lastTsMicros != Long.MinValue && tsMicros - st.lastTsMicros > gapMicros
-      st = SessState(tsMicros, if (newSession) st.sessionId + 1 else st.sessionId)
-      SessionAssign(entity, p.ts, st.sessionId)
+      if (tsMicros < st.lastTsMicros) None
+      else {
+        val newSession = st.lastTsMicros != Long.MinValue && tsMicros - st.lastTsMicros > gapMicros
+        st = SessState(tsMicros, if (newSession) st.sessionId + 1 else st.sessionId)
+        Some(SessionAssign(entity, p.ts, st.sessionId))
+      }
     }
     state.update(st)
     // Production note: a deployment with a real trigger interval should use

@@ -24,7 +24,8 @@ object TextFeatures {
     * subset — letter runs, digit runs, punctuation runs, each with optional
     * leading space): the usual cheap proxy for "how many tokens will the
     * tokenizer emit" in training-data accounting. */
-  val BpeIshPattern: String = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+  val BpeIshPattern: String =
+    " ?[\\p{L}]+| ?[\\p{N}]+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\x0B\\f\\r]+"
 
   /** Token accounting: whitespace tokens + BPE-ish regex pieces. */
   def withTokenCounts(df: DataFrame, text: String = "text"): DataFrame =

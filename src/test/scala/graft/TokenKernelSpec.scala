@@ -10,8 +10,22 @@ import org.apache.spark.sql.functions._
   * haversine/bearing op order, same null positions, same session cumsum. */
 class TokenKernelSpec extends SparkSpec {
 
-  private lazy val corpus =
-    SyntheticCorpus.generate(spark, nDocs = 80, medianLen = 48, skewEvery = 25, skewFactor = 10).cache()
+  // synthetic corpus PLUS the degenerate shapes the generator never makes:
+  // empty, single-token (all features null), two-token (acc/jerk null),
+  // three-token (jerk null), and a null token array
+  private lazy val corpus = {
+    import spark.implicits._
+    val edge = Seq(
+      ("edge_empty", Array.empty[Int], "web"),
+      ("edge_one", Array(7), "web"),
+      ("edge_two", Array(7, 11), "web"),
+      ("edge_three", Array(7, 11, 13), "web"),
+      ("edge_null", null.asInstanceOf[Array[Int]], "web")
+    ).toDF("doc_id", "tokens", "source")
+      .withColumn("n_tok", coalesce(size(col("tokens")), lit(0)))
+    SyntheticCorpus.generate(spark, nDocs = 80, medianLen = 48, skewEvery = 25, skewFactor = 10)
+      .unionByName(edge).cache()
+  }
 
   test("per-token features: kernel == window path bitwise (incl. null masks)") {
     val (grid, ts) = TokenAdapter.explodeTokens(corpus)
@@ -21,7 +35,7 @@ class TokenKernelSpec extends SparkSpec {
         (Seq("doc_id", "pos", "token", "lat", "lon") ++ Kinematic.AllFeatures :+ "session_id").map(col): _*
       )
     val ker = TokenKernel.tokenRows(corpus, stepSec = 1L, gapSeconds = 1.5).toDF()
-      .select(win.columns.map(col): _*)
+      .select(win.columns.toIndexedSeq.map(col): _*)
     // exceptAll is exact binary comparison per row — bit equality or bust
     assert(win.count() == ker.count())
     assert(win.exceptAll(ker).count() == 0, "window-path rows missing from kernel")
@@ -36,14 +50,27 @@ class TokenKernelSpec extends SparkSpec {
     val win = ses.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val ker = TokenKernel.docVectors(corpus).toDF()
 
-    val joined = win.alias("w").join(ker.alias("k"), "doc_id")
-    assert(joined.count() == corpus.count())
-    assert(joined.where(col("w.n") =!= col("k.n") || col("w.n_sessions") =!= col("k.n_sessions")).count() == 0)
+    // full outer: docs present on exactly one side are mismatches too
+    val joined = win.alias("w").join(ker.alias("k"), Seq("doc_id"), "full")
+    // empty/null-token docs appear on NEITHER side
+    assert(joined.count() == corpus.count() - 2)
+    assert(joined.where(
+      col("w.n").isNull || col("k.n").isNull ||
+        col("w.n") =!= col("k.n") || col("w.n_sessions") =!= col("k.n_sessions")).count() == 0)
     val mismatches = Kinematic.AllFeatures.map { f =>
-      // same accumulation order (pos order within one partition) ⇒ tiny tol
-      joined.where(abs(col(s"w.sum_$f") - col(s"k.sum_$f")) > abs(col(s"w.sum_$f")) * 1e-12 + 1e-9).count()
+      val w = col(s"w.sum_$f"); val k = col(s"k.sum_$f")
+      // null-AWARE: null-mask disagreement is a mismatch; both-defined
+      // compares with tiny tol (same accumulation order ⇒ near-bit-equal)
+      joined.where(
+        when(w.isNull || k.isNull, w.isNotNull || k.isNotNull)
+          .otherwise(abs(w - k) > abs(w) * 1e-12 + 1e-9)).count()
     }
     assert(mismatches.forall(_ == 0), s"sum mismatches per feature: ${Kinematic.AllFeatures.zip(mismatches)}")
+    // the short docs really do exercise the null-sum path
+    assert(ker.where(col("doc_id") === "edge_one" && col("sum_Distance").isNotNull).count() == 0)
+    assert(ker.where(col("doc_id") === "edge_two" && col("sum_Acceleration").isNotNull).count() == 0)
+    assert(ker.where(col("doc_id") === "edge_three" &&
+      (col("sum_Jerk").isNotNull || col("sum_Acceleration").isNull)).count() == 0)
   }
 
   test("gap smaller than step ⇒ every token its own session (closed-form check)") {

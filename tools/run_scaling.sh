@@ -7,7 +7,7 @@
 #   window  — explode → shuffle → fused window chain (general path)
 #   grouped — typed per-doc kernel, zero shuffle (pre-grouped scale path)
 # Sizes differ so each run lands in a stable 3–60 s measurement band.
-set -e
+set -eo pipefail
 REPS="${SPARK_GRAFT_BENCH_REPS:-3}"
 OUT="${1:-/tmp/graft_scaling}"
 N="${SPARK_GRAFT_N:-8}"
