@@ -158,8 +158,33 @@ object DocQueries {
         .select(col("doc_id"), posexplode(col("tokens")).as(Seq("pos", "token")))
     }),
 
+    // ---- kinematic stats: long form (G2's native shape) ----
+    // unpivot of the (rounded) wide result; null stats dropped to match
+    // DuckDB UNPIVOT's default null exclusion
+    "q_stat_long" -> ((sp, dir) => {
+      val wide = statWide(sp, dir)
+      val keys = Seq("traj_id")
+      val valueCols = wide.columns.filterNot(keys.contains)
+      val stackExpr = valueCols
+        .map(c => s"'$c', `$c`")
+        .mkString(s"stack(${valueCols.length}, ", ", ", ") as (stat_feature, value)")
+      wide.selectExpr("traj_id", stackExpr).where(col("value").isNotNull)
+    }),
+
     // ---- kinematic stats pivot (G2/G3) ----
-    "q_stat_wide" -> ((sp, dir) => {
+    "q_stat_wide" -> ((sp, dir) => statWide(sp, dir)),
+
+    // ---- remaining interpolation modes (rows-only oracle where noted) ----
+    "q_ip_cubic" -> ((sp, dir) =>
+      Interpolation.cubic(SparkEntry.traj(sp, dir).drop("event_id"), SparkEntry.S.copy(orderCols = Nil), 43200.0)
+        .select(col("traj_id"), col("ts"), r(col("lat"), 6).as("lat"), r(col("lon"), 6).as("lon"))),
+    "q_ip_random_walk" -> ((sp, dir) =>
+      Interpolation.randomWalk(SparkEntry.traj(sp, dir).drop("event_id"), SparkEntry.S.copy(orderCols = Nil), 43200.0)
+        .groupBy(col("traj_id")).agg(count(lit(1)).as("n_points")))
+  )
+
+  /** The shared rounded wide-stats builder (q_stat_wide / q_stat_long). */
+  private def statWide(sp: SparkSession, dir: String): DataFrame = {
       val base = Kinematic.withKinematics(SparkEntry.traj(sp, dir), SparkEntry.S)
       val kinDigits = Seq(
         Kinematic.Distance -> 3, Kinematic.DistanceFromStart -> 3, Kinematic.Speed -> 3,
@@ -184,16 +209,7 @@ object DocQueries {
         )
       }
       rounded.groupBy(col("traj_id")).agg(exprs.head, exprs.tail: _*)
-    }),
-
-    // ---- remaining interpolation modes (rows-only oracle where noted) ----
-    "q_ip_cubic" -> ((sp, dir) =>
-      Interpolation.cubic(SparkEntry.traj(sp, dir).drop("event_id"), SparkEntry.S.copy(orderCols = Nil), 43200.0)
-        .select(col("traj_id"), col("ts"), r(col("lat"), 6).as("lat"), r(col("lon"), 6).as("lon"))),
-    "q_ip_random_walk" -> ((sp, dir) =>
-      Interpolation.randomWalk(SparkEntry.traj(sp, dir).drop("event_id"), SparkEntry.S.copy(orderCols = Nil), 43200.0)
-        .groupBy(col("traj_id")).agg(count(lit(1)).as("n_points")))
-  )
+  }
 
   val oracleSql: Map[String, String] = {
     val kinDigits = Seq(
@@ -350,7 +366,20 @@ object DocQueries {
         s"""${SparkEntry.KinSql}
            |SELECT traj_id,
            |$statSelect
-           |FROM kin GROUP BY traj_id""".stripMargin
+           |FROM kin GROUP BY traj_id""".stripMargin,
+      "q_stat_long" -> {
+        val names = kinDigits.flatMap { case (_, f, _) =>
+          Seq(s"p10_$f", s"p25_$f", s"p50_$f", s"p75_$f", s"p90_$f",
+            s"min_$f", s"max_$f", s"mean_$f", s"std_$f")
+        }
+        s"""${SparkEntry.KinSql}, wide AS (
+           |SELECT traj_id,
+           |$statSelect
+           |FROM kin GROUP BY traj_id
+           |)
+           |UNPIVOT wide ON ${names.map(n => s""""$n"""").mkString(", ")}
+           |INTO NAME stat_feature VALUE value""".stripMargin
+      }
       // q_sim_lsh_topk, q_ip_cubic, q_ip_random_walk: rows-only (Spark-internal
       // hashing / scipy-spline / seeded RNG — no portable SQL oracle)
     )
