@@ -111,9 +111,19 @@ object Bench {
       flagshipOut.write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
-    // stage-completed events are delivered asynchronously; give the bus a
-    // moment to drain before reading the accumulated shuffle bytes
-    def drainListeners(): Unit = Thread.sleep(1000)
+    // stage-completed events are delivered asynchronously; poll the
+    // accumulators until they are stable (2 consecutive unchanged reads,
+    // bounded) instead of guessing a fixed sleep
+    def drainListeners(): Unit = {
+      var prev = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 5000) {
+        Thread.sleep(200); waited += 200
+        val cur = shufWrite.get() + shufRead.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+    }
     val (flagshipSec, shufWriteRun, shufReadRun) = if (paths("window")) {
       once() // warmup
       drainListeners()

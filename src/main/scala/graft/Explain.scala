@@ -26,7 +26,18 @@ object Explain {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.warehouse.dir", s"${sys.props("java.io.tmpdir")}/graft_wh_${System.nanoTime()}")
+      .config("spark.sql.warehouse.dir", {
+        // fixed dir, wiped up front: repeated gate runs must not accrete
+        // dead bucketed copies in /tmp (in-memory catalog forgets the
+        // tables between JVMs, so the stale dir would also block CREATE)
+        val wh = java.nio.file.Paths.get(s"${sys.props("java.io.tmpdir")}/graft_explain_wh")
+        if (java.nio.file.Files.exists(wh)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(wh).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+        }
+        wh.toString
+      })
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

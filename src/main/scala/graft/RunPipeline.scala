@@ -48,15 +48,19 @@ object RunPipeline {
     // buckets into readStage's glob. Fingerprint and refuse on mismatch.
     val fingerprint = s"""{"docs":$nDocs,"buckets":$nBuckets,"path":"$pathKind"}"""
     val fpPath = java.nio.file.Paths.get(s"$outRoot/_config.json")
+    val resumedS1 = runner.completedBuckets("feature_vectors").size
     if (java.nio.file.Files.exists(fpPath)) {
       val prev = java.nio.file.Files.readString(fpPath)
       require(prev == fingerprint,
         s"outRoot $outRoot holds a run with different config $prev — use a fresh outRoot for $fingerprint")
     } else {
+      // a manifest WITHOUT a fingerprint is unattributable work (pre-dating
+      // this guard, or a foreign writer) — refuse rather than silently mix
+      require(resumedS1 == 0,
+        s"outRoot $outRoot has completed buckets but no _config.json — cannot attribute them; use a fresh outRoot")
       java.nio.file.Files.createDirectories(fpPath.getParent)
       java.nio.file.Files.writeString(fpPath, fingerprint)
     }
-    val resumedS1 = runner.completedBuckets("feature_vectors").size
     val t0 = System.nanoTime()
 
     // stage 1: per-doc feature vectors, bucketed by entity, lineage per bucket

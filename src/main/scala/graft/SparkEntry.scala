@@ -196,14 +196,17 @@ object SparkEntry {
         .withColumn(Kinematic.Distance, r(col(Kinematic.Distance), 3))
       d.groupBy(col("traj_id")).agg(r(sum(col(Kinematic.Distance)), 4).as("distance_travelled"))
     }),
-    // statViz data — per (entity, day) distance sums (the reference's
-    // treemap input, visualization/statViz.py:26-88): full-trajectory K1
-    // distances grouped by the row's date
-    "q_viz_dist_per_day" -> ((sp, dir) => {
+    // statViz treemap data (visualization/statViz.py:26-88): per entity,
+    // total distance (K15) ÷ whole days of duration (T6, int(dt.days)) —
+    // ONE row per trajectory, the exact statistic the reference plots
+    "q_viz_avg_dist_per_day" -> ((sp, dir) => {
       val d = Kinematic.withDistance(traj(sp, dir), S)
         .withColumn(Kinematic.Distance, r(col(Kinematic.Distance), 3))
-      d.groupBy(col("traj_id"), to_date(col("ts")).as("day"))
-        .agg(r(sum(col(Kinematic.Distance)), 4).as("distance"))
+      d.groupBy(col("traj_id"))
+        .agg(
+          (r(sum(col(Kinematic.Distance)), 4) /
+            floor((max(graft.core.Times.micros(col("ts"))) - min(graft.core.Times.micros(col("ts")))) / 86400000000L).cast("double")
+          ).as("avg_dist_per_day"))
     }),
     // K16 — distinct locations per entity
     "q_kin_n_locations" -> ((sp, dir) => Kinematic.numberOfLocations(traj(sp, dir), S)),
@@ -428,10 +431,10 @@ object SparkEntry {
            |arg_max(lat, ts) AS end_lat, arg_max(lon, ts) AS end_lon FROM traj GROUP BY traj_id""".stripMargin,
       "q_kin_distance_travelled" ->
         s"""$KinSql SELECT traj_id, ${rs("sum(round(dist, 3) + 0.0)", 4)} AS distance_travelled FROM kin GROUP BY traj_id""",
-      "q_viz_dist_per_day" ->
-        s"""$KinSql SELECT traj_id, cast(ts AS date) AS day,
-           |${rs("sum(round(dist, 3) + 0.0)", 4)} AS distance
-           |FROM kin GROUP BY traj_id, cast(ts AS date)""".stripMargin,
+      "q_viz_avg_dist_per_day" ->
+        s"""$KinSql SELECT traj_id,
+           |(${rs("sum(round(dist, 3) + 0.0)", 4)}) / cast(floor((max(epoch_us(ts)) - min(epoch_us(ts))) / 86400000000) AS double) AS avg_dist_per_day
+           |FROM kin GROUP BY traj_id""".stripMargin,
       "q_kin_n_locations" ->
         s"""$TrajSql SELECT traj_id, count(DISTINCT (lat, lon)) AS n_locations FROM traj GROUP BY traj_id""",
       "q_tmp_features" ->

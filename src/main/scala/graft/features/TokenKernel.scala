@@ -108,10 +108,10 @@ object TokenKernel {
     if (r < 0) r + 360.0 else r
   }
 
-  /** Geo.infToNull mirror on a primitive chain: ±Inf → NaN-as-null marker.
-    * We track "null" as Double.NaN internally and convert at the edges. */
-  @inline private def infToNaN(v: Double): Double =
-    if (v == Double.PositiveInfinity || v == Double.NegativeInfinity) Double.NaN else v
+  /** Geo.infToNull mirror: a ±Inf result is "null" (undefined); genuine NaN
+    * stays a defined VALUE (Spark's sum/compare treat NaN as a value). */
+  @inline private def isInf(v: Double): Boolean =
+    v == Double.PositiveInfinity || v == Double.NegativeInfinity
 
   /** The per-document loop. Returns (sums..., nSessions) via a single pass.
     * Feature f of derivative order d is undefined (NaN) for the first d
@@ -122,18 +122,27 @@ object TokenKernel {
     private val gapMicros: Long = (gapSeconds * 1e6).toLong
     private val boundary: Boolean = dtMicros > gapMicros
 
-    // normalized null-skipping accumulate; NaN marks "no contribution yet"
-    // so an all-null feature sums to None like SQL's null-skipping sum
-    @inline private def acc(sum: Double, v: Double): Double =
-      if (v != v) sum else if (sum != sum) v else sum + v
-    @inline private def opt(sum: Double): Option[Double] = if (sum != sum) None else Some(sum)
+    /** Per-feature sum accumulator that distinguishes SQL-null (skipped by
+      * sum) from a genuine NaN VALUE (which poisons the sum, exactly like
+      * Spark's Sum over a NaN double). `seen` = any defined contribution. */
+    private final class SumAcc {
+      var sum: Double = 0.0
+      var seen: Boolean = false
+      @inline def add(v: Double, defined: Boolean): Unit =
+        if (defined) { sum = if (seen) sum + v else v; seen = true }
+      @inline def opt: Option[Double] = if (seen) Some(sum) else None
+    }
 
     def run(r: SeqRow, emit: TokenRow => Unit): DocVector = {
       val n = r.tokens.length
-      var sDist, sDistStart, sSpeed, sAcc, sJerk, sBrg, sBrate, sRobr = Double.NaN
+      val sDist, sDistStart, sSpeed, sAcc, sJerk, sBrg, sBrate, sRobr = new SumAcc
       var pLat, pLon = 0.0
       var lat0, lon0 = 0.0
-      var pSpeed, pAcc, pBrg, pBrate = Double.NaN
+      var pSpeed, pAcc, pBrg, pBrate = 0.0
+      // definedness is tracked SEPARATELY from the value: a feature can be
+      // a defined genuine NaN (window path: non-null NaN) or undefined
+      // (window path: null from a missing lag or from infToNull)
+      var pSpeedDef, pAccDef, pBrgDef, pBrateDef = false
       var i = 0
       var sessions = 0L
       while (i < n) {
@@ -141,32 +150,40 @@ object TokenKernel {
         val lat = -90.0 + hashFrac(1, tok, i) * 180.0
         val lon = -180.0 + hashFrac(2, tok, i) * 360.0
         if (i == 0) { lat0 = lat; lon0 = lon }
-        var dist, distStart, speed, accel, jerk, brg, brate, robr = Double.NaN
+        var dist, distStart, speed, accel, jerk, brg, brate, robr = 0.0
+        var dDist, dSpeed, dAcc, dJerk, dBrg, dBrate, dRobr = false
         if (i > 0) {
-          dist = haversine(pLat, pLon, lat, lon)
+          dist = haversine(pLat, pLon, lat, lon); dDist = true
           distStart = haversine(lat0, lon0, lat, lon)
-          brg = bearing(pLat, pLon, lat, lon)
-          speed = infToNaN(dist / dt)
-          brate = infToNaN((brg - pBrg) / dt)
-          accel = infToNaN((speed - pSpeed) / dt)
-          jerk = infToNaN((accel - pAcc) / dt)
-          robr = infToNaN((brate - pBrate) / dt)
+          brg = bearing(pLat, pLon, lat, lon); dBrg = true
+          // derivative defined iff BOTH the current and lagged upstream
+          // values are defined (a null on either side nulls the window
+          // expression) and the division didn't overflow (infToNull)
+          speed = dist / dt; dSpeed = !isInf(speed)
+          if (dBrg && pBrgDef) { brate = (brg - pBrg) / dt; dBrate = !isInf(brate) }
+          if (dSpeed && pSpeedDef) { accel = (speed - pSpeed) / dt; dAcc = !isInf(accel) }
+          if (dAcc && pAccDef) { jerk = (accel - pAcc) / dt; dJerk = !isInf(jerk) }
+          if (dBrate && pBrateDef) { robr = (brate - pBrate) / dt; dRobr = !isInf(robr) }
           if (boundary) sessions += 1
         }
-        sDist = acc(sDist, dist); sDistStart = acc(sDistStart, distStart)
-        sSpeed = acc(sSpeed, speed); sAcc = acc(sAcc, accel); sJerk = acc(sJerk, jerk)
-        sBrg = acc(sBrg, brg); sBrate = acc(sBrate, brate); sRobr = acc(sRobr, robr)
+        sDist.add(dist, dDist); sDistStart.add(distStart, dDist)
+        sSpeed.add(speed, dSpeed); sAcc.add(accel, dAcc); sJerk.add(jerk, dJerk)
+        sBrg.add(brg, dBrg); sBrate.add(brate, dBrate); sRobr.add(robr, dRobr)
         if (emit ne null) {
-          def o(v: Double): Option[Double] = if (v != v) None else Some(v)
-          emit(TokenRow(r.doc_id, i, tok, lat, lon, o(dist), o(distStart), o(speed),
-            o(accel), o(jerk), o(brg), o(brate), o(robr), sessions))
+          def o(v: Double, d: Boolean): Option[Double] = if (d) Some(v) else None
+          emit(TokenRow(r.doc_id, i, tok, lat, lon, o(dist, dDist), o(distStart, dDist),
+            o(speed, dSpeed), o(accel, dAcc), o(jerk, dJerk), o(brg, dBrg),
+            o(brate, dBrate), o(robr, dRobr), sessions))
         }
         pLat = lat; pLon = lon
-        pSpeed = speed; pAcc = accel; pBrg = brg; pBrate = brate
+        pSpeed = speed; pSpeedDef = dSpeed
+        pAcc = accel; pAccDef = dAcc
+        pBrg = brg; pBrgDef = dBrg
+        pBrate = brate; pBrateDef = dBrate
         i += 1
       }
-      DocVector(r.doc_id, n, sessions, opt(sDist), opt(sDistStart), opt(sSpeed),
-        opt(sAcc), opt(sJerk), opt(sBrg), opt(sBrate), opt(sRobr))
+      DocVector(r.doc_id, n, sessions, sDist.opt, sDistStart.opt, sSpeed.opt,
+        sAcc.opt, sJerk.opt, sBrg.opt, sBrate.opt, sRobr.opt)
     }
   }
 

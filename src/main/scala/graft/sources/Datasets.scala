@@ -33,7 +33,9 @@ object Datasets {
         s"unknown dataset '$dataset' (known: ${ColumnMappings.keys.mkString(", ")})")
     )
     val raw = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
-    val cleaned = if (dataset == "ships") raw.na.drop(Seq(lat, lon, dt, id)) else raw
+    // the reference's ships loader calls df.dropna() over ALL columns
+    // (Datasets.py:154), not just the mandatory four
+    val cleaned = if (dataset == "ships") raw.na.drop() else raw
     Canonical.ingest(cleaned, id = id, ts = dt, lat = lat, lon = lon)
   }
 

@@ -25,9 +25,12 @@ class DatasetsSpec extends SparkSpec {
         |,2024-01-01 02:00:00,10.7,-20.35,3.6
         |beta,2024-01-01 00:30:00,,-21.0,1.0
         |beta,2024-01-01 01:30:00,11.0,-21.1,1.1
+        |gamma,2024-01-01 03:00:00,12.0,-22.0,
         |""".stripMargin)
     val (df, s) = Datasets.load(spark, "ships", path)
-    assert(df.count() == 3) // two null-mandatory rows dropped (ref dropna)
+    // ref dropna() is ALL-column: the null-Speed gamma row drops too
+    assert(df.count() == 3)
+    assert(df.where(col(s.id) === "gamma").count() == 0)
     val sch = df.schema
     assert(sch(s.id).dataType == StringType)
     assert(sch(s.ts).dataType == TimestampType)
