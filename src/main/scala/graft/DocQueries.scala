@@ -74,6 +74,19 @@ object DocQueries {
   /** sequential-fold dot product of DOUBLE lists a, b */
   private def sqlDot(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, [$a[i]::DOUBLE * $b[i]::DOUBLE for i in generate_series(1, len($a))]), (x, y) -> x + y)"
+  /** projection of list `v` onto portable hyperplane p — op-for-op mirror of
+    * SimilarityKernel.lshBucket's per-plane fold (1-based SQL i ↔ 0-based
+    * kernel i+1; every op exact-IEEE or integer, so buckets match bitwise) */
+  private def sqlLshPlaneSum(v: String, p: Int): String = {
+    val a = 506952114L * (2 * p + 1) % TextHash.P
+    val b = (40503L * (p + 1)) % TextHash.P
+    s"list_reduce(list_prepend(0.0::DOUBLE, [$v[i]::DOUBLE * ((((i * 506952114) % $P * $a % $P + $b) % $P)::DOUBLE / 2147483647.0 - 0.5) for i in generate_series(1, len($v))]), (x, y) -> x + y)"
+  }
+  /** full `planes`-bit LSH bucket of list `v` (sign bit per plane) */
+  private def sqlLshBucket(v: String, planes: Int): String =
+    (0 until planes)
+      .map(p => s"(CASE WHEN ${sqlLshPlaneSum(v, p)} > 0.0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("(", " + ", ")")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----
@@ -110,7 +123,7 @@ object DocQueries {
         e, k = 5
       )
     }),
-    // LSH path: Spark-internal hash planes ⇒ rows-only driver check (no oracle)
+    // LSH path: portable hash planes ⇒ full DuckDB oracle (bucket-exact)
     "q_sim_lsh_topk" -> ((sp, dir) => {
       val e = embs(sp, dir)
       Similarity.lshTopK(
@@ -128,8 +141,14 @@ object DocQueries {
     }),
 
     // ---- embedding near-duplicate pairs ----
+    // default = banded-LSH candidates + exact re-rank (the 100-TB shape);
+    // the oracle mirrors the same portable buckets, so the match is exact
     "q_dedup_embed" -> ((sp, dir) =>
       Dedup.embeddingNearDupPairs(embs(sp, dir), threshold = 0.2)
+        .select(col("id_a"), col("id_b"), r(col("cosine"), 6).as("cosine"))),
+    // all-pairs reference path (exact = true), kept oracle-checked
+    "q_dedup_embed_exact" -> ((sp, dir) =>
+      Dedup.embeddingNearDupPairs(embs(sp, dir), threshold = 0.2, exact = true)
         .select(col("id_a"), col("id_b"), r(col("cosine"), 6).as("cosine"))),
 
     // ---- multimodal plumbing (stub codec; see Multimodal scaladoc) ----
@@ -178,9 +197,11 @@ object DocQueries {
     "q_ip_cubic" -> ((sp, dir) =>
       Interpolation.cubic(SparkEntry.traj(sp, dir).drop("event_id"), SparkEntry.S.copy(orderCols = Nil), 43200.0)
         .select(col("traj_id"), col("ts"), r(col("lat"), 6).as("lat"), r(col("lon"), 6).as("lon"))),
+    // portable seeded draws ⇒ the inserted coordinates themselves are
+    // oracle-checked (not just row counts)
     "q_ip_random_walk" -> ((sp, dir) =>
       Interpolation.randomWalk(SparkEntry.traj(sp, dir).drop("event_id"), SparkEntry.S.copy(orderCols = Nil), 43200.0)
-        .groupBy(col("traj_id")).agg(count(lit(1)).as("n_points")))
+        .select(col("traj_id"), col("ts"), r(col("lat"), 6).as("lat"), r(col("lon"), 6).as("lon")))
   )
 
   /** The shared rounded wide-stats builder (q_stat_wide / q_stat_long). */
@@ -318,7 +339,7 @@ object DocQueries {
            |  FROM wide, unnest(generate_series(0, 61)) AS t(b)
            |),
            |votes AS (SELECT doc_id, b, sum(vote) AS s FROM bits GROUP BY 1, 2)
-           |SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
+           |SELECT doc_id, cast(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
            |FROM votes GROUP BY doc_id""".stripMargin,
       "q_sim_topk" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 30),
@@ -332,7 +353,34 @@ object DocQueries {
            |  FROM scored
            |)
            |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
+      "q_sim_lsh_topk" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, ${sqlLshBucket("embedding", 6)} AS bucket
+           |           FROM embeddings WHERE vec_id < 30),
+           |c AS (SELECT vec_id, embedding AS cv, ${sqlLshBucket("embedding", 6)} AS bucket FROM embeddings),
+           |scored AS (
+           |  SELECT q.query_id, c.vec_id,
+           |    round(${sqlDot("qv", "cv")} / (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("cv", "cv")})), 6) + 0.0 AS cosine
+           |  FROM c JOIN q USING (bucket) WHERE q.query_id != c.vec_id
+           |), ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM scored
+           |)
+           |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
       "q_dedup_embed" ->
+        s"""WITH bk AS (SELECT vec_id, ${sqlLshBucket("embedding", 16)} AS bucket FROM embeddings),
+           |banded AS (SELECT vec_id, b, (bucket >> (b * 2)) & 3 AS bb FROM bk, unnest(generate_series(0, 7)) AS t(b)),
+           |cand AS (
+           |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+           |  FROM banded l JOIN banded r ON l.b = r.b AND l.bb = r.bb AND l.vec_id < r.vec_id
+           |),
+           |av AS (SELECT vec_id, embedding AS va FROM embeddings),
+           |bv AS (SELECT vec_id, embedding AS vb FROM embeddings),
+           |scored AS (
+           |  SELECT id_a, id_b, ${sqlDot("va", "vb")} / (sqrt(${sqlDot("va", "va")}) * sqrt(${sqlDot("vb", "vb")})) AS c
+           |  FROM cand JOIN av ON av.vec_id = cand.id_a JOIN bv ON bv.vec_id = cand.id_b
+           |)
+           |SELECT id_a, id_b, round(c, 6) + 0.0 AS cosine FROM scored WHERE c >= 0.2""".stripMargin,
+      "q_dedup_embed_exact" ->
         s"""WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
            |b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings),
            |scored AS (
@@ -367,6 +415,43 @@ object DocQueries {
            |SELECT traj_id,
            |$statSelect
            |FROM kin GROUP BY traj_id""".stripMargin,
+      "q_ip_random_walk" -> {
+        // one affine draw per salt from the seeded entity hash — op-for-op
+        // mirror of Interpolation.randomWalk (seed 42, rate 43200 s)
+        def u(salt: Int): String = {
+          val a = 506952114L * (2 * salt + 1) % TextHash.P
+          val b = (40503L * (salt + 1)) % TextHash.P
+          s"((bh * $a % $P + $b) % $P + 0.5) / 2147483647.0"
+        }
+        s"""${SparkEntry.KinSql},
+           |st AS (
+           |  SELECT traj_id, avg(dist) AS dmean, stddev(dist) AS dstd,
+           |         avg(brg) AS bmean, stddev(brg) AS bstd, count(*) AS n
+           |  FROM kin GROUP BY traj_id
+           |),
+           |dr AS (
+           |  SELECT traj_id,
+           |    sqrt(-2.0 * ln(${u(1)})) * cos(2.0 * pi() * ${u(2)}) AS z1,
+           |    sqrt(-2.0 * ln(${u(3)})) * cos(2.0 * pi() * ${u(4)}) AS z2
+           |  FROM (SELECT DISTINCT traj_id, (${sqlPoly("traj_id")} + 42 + $P) % $P AS bh FROM kin) tb
+           |),
+           |rw AS (
+           |  SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY traj_id ORDER BY ts, event_id) AS pus
+           |  FROM kin
+           |),
+           |ins AS (
+           |  SELECT rw.traj_id,
+           |    make_timestamp(pus + 43200000000) AS ts,
+           |    plat + ((st.dmean + st.dstd * dr.z1) / 1000.0 * cos(radians(st.bmean + st.bstd * dr.z2)) / 6371.0) * (180.0 / pi()) AS lat,
+           |    plon + ((st.dmean + st.dstd * dr.z1) / 1000.0 * sin(radians(st.bmean + st.bstd * dr.z2)) / 6371.0) * (180.0 / pi()) / cos(plat * (pi() / 180.0)) AS lon
+           |  FROM rw JOIN st USING (traj_id) JOIN dr USING (traj_id)
+           |  WHERE rw.dt > 43200.0 AND st.n > 3
+           |)
+           |SELECT traj_id, ts, round(lat, 6) + 0.0 AS lat, round(lon, 6) + 0.0 AS lon FROM (
+           |  SELECT traj_id, ts, lat, lon FROM traj
+           |  UNION ALL SELECT traj_id, ts, lat, lon FROM ins
+           |)""".stripMargin
+      },
       "q_stat_long" -> {
         val names = kinDigits.flatMap { case (_, f, _) =>
           Seq(s"p10_$f", s"p25_$f", s"p50_$f", s"p75_$f", s"p90_$f",
@@ -380,8 +465,8 @@ object DocQueries {
            |UNPIVOT wide ON ${names.map(n => s""""$n"""").mkString(", ")}
            |INTO NAME stat_feature VALUE value""".stripMargin
       }
-      // q_sim_lsh_topk, q_ip_cubic, q_ip_random_walk: rows-only (Spark-internal
-      // hashing / scipy-spline / seeded RNG — no portable SQL oracle)
+      // q_ip_cubic: rows-only (whole-series tridiagonal spline solve — no
+      // portable SQL oracle; ScalaTest asserts poly-exactness/C1/knots)
     )
   }
 }

@@ -205,7 +205,7 @@ object SparkEntry {
       d.groupBy(col("traj_id"))
         .agg(
           (r(sum(col(Kinematic.Distance)), 4) /
-            floor((max(graft.core.Times.micros(col("ts"))) - min(graft.core.Times.micros(col("ts")))) / 86400000000L).cast("double")
+            nullif(floor((max(graft.core.Times.micros(col("ts"))) - min(graft.core.Times.micros(col("ts")))) / 86400000000L), lit(0)).cast("double")
           ).as("avg_dist_per_day"))
     }),
     // K16 — distinct locations per entity
@@ -433,7 +433,7 @@ object SparkEntry {
         s"""$KinSql SELECT traj_id, ${rs("sum(round(dist, 3) + 0.0)", 4)} AS distance_travelled FROM kin GROUP BY traj_id""",
       "q_viz_avg_dist_per_day" ->
         s"""$KinSql SELECT traj_id,
-           |(${rs("sum(round(dist, 3) + 0.0)", 4)}) / cast(floor((max(epoch_us(ts)) - min(epoch_us(ts))) / 86400000000) AS double) AS avg_dist_per_day
+           |(${rs("sum(round(dist, 3) + 0.0)", 4)}) / cast(nullif(floor((max(epoch_us(ts)) - min(epoch_us(ts))) / 86400000000), 0) AS double) AS avg_dist_per_day
            |FROM kin GROUP BY traj_id""".stripMargin,
       "q_kin_n_locations" ->
         s"""$TrajSql SELECT traj_id, count(DISTINCT (lat, lon)) AS n_locations FROM traj GROUP BY traj_id""",
@@ -523,7 +523,7 @@ object SparkEntry {
            |  FROM traj WINDOW w AS (PARTITION BY traj_id ORDER BY ts, event_id)
            |)
            |SELECT traj_id, event_id,
-           |  sum(b) OVER (PARTITION BY traj_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           |  cast(sum(b) OVER (PARTITION BY traj_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
            |FROM bnd""".stripMargin,
       "q_ses_stats" ->
         s"""$TrajSql, bnd AS (
@@ -532,7 +532,7 @@ object SparkEntry {
            |  FROM traj WINDOW w AS (PARTITION BY traj_id ORDER BY ts, event_id)
            |), ses AS (
            |  SELECT traj_id, ts,
-           |  sum(b) OVER (PARTITION BY traj_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           |  cast(sum(b) OVER (PARTITION BY traj_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
            |  FROM bnd
            |)
            |SELECT traj_id, session_id, count(*) AS n_points, min(ts) AS session_start, max(ts) AS session_end,

@@ -59,16 +59,29 @@ object Similarity {
       .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
   }
 
-  /** Deterministic hyperplane weight for (plane p, dim i) in [−0.5, 0.5):
-    * hash-derived, no RNG state, identical on every executor. */
-  private def planeWeight(p: Int, i: Column): Column =
-    xxhash64(lit("graft-lsh"), lit(p), i).cast("double") / 1.8446744073709552e19
-
-  /** LSH bucket id from `planes` sign bits of hash-derived hyperplanes. */
+  /** LSH bucket id from `planes` sign bits of pseudo-random hyperplanes.
+    * Plane weights are the ENGINE-PORTABLE TextHash affine family (pure
+    * integer arithmetic mod 2³¹−1 mapped to [−0.5, 0.5)), so the DuckDB
+    * oracle computes identical buckets — and the whole bucket is ONE native
+    * codegen'd kernel call ([[LshBucketExpr]]) instead of `planes`
+    * interpreted aggregate/zip_with chains. */
   def lshBucket(vec: Column, planes: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(LshBucketExpr(GraftSqlBridge.expression(vec), planes))
+  }
+
+  /** Declarative HOF formulation of [[lshBucket]] — kept as the parity
+    * reference (LshBucketParitySpec asserts bit-equality with the kernel). */
+  def lshBucketHof(vec: Column, planes: Int): Column = {
+    val P = graft.functions.TextHash.P
     val bits = (0 until planes).map { p =>
+      val a = lit(506952114L * (2 * p + 1) % P)
+      val b = lit((40503L * (p + 1)) % P)
       val s = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => x.cast("double") * planeWeight(p, i)),
+        zip_with(vec, sequence(lit(1), size(vec)), (x, i) => {
+          val h = (i.cast("long") * 506952114L % P * a % P + b) % P
+          x.cast("double") * (h.cast("double") / 2147483647.0 - 0.5)
+        }),
         lit(0.0),
         (acc, v) => acc + v
       )

@@ -32,6 +32,72 @@ object SimilarityKernel {
     while (i < n) { s = s + a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
+
+  /** Random-hyperplane LSH bucket: bit p of the result is the sign of the
+    * projection of `a` onto the p-th pseudo-random hyperplane. Plane weights
+    * are ENGINE-PORTABLE integer arithmetic (the TextHash affine family over
+    * 2³¹−1, mapped to [−0.5, 0.5)), so the DuckDB oracle reproduces buckets
+    * bit-for-bit — unlike the earlier xxhash64-seeded planes. Per-plane fold
+    * order is element-ascending, matching the HOF formulation
+    * ([[Similarity.lshBucketHof]]) and the SQL list_reduce mirror exactly.
+    * Arrays containing a null element hash to bucket 0 (the HOF's
+    * null-poisoned sums fail every `> 0` test). */
+  def lshBucket(a: ArrayData, planes: Int, isFloat: Boolean): Long = {
+    val P = 2147483647L
+    if (hasNull(a)) return 0L
+    val as = Array.tabulate(planes)(p => 506952114L * (2 * p + 1) % P)
+    val bs = Array.tabulate(planes)(p => (40503L * (p + 1)) % P)
+    val acc = new Array[Double](planes)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      val x = (i + 1).toLong * 506952114L % P
+      val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      var p = 0
+      while (p < planes) {
+        val h = (x * as(p) % P + bs(p)) % P
+        acc(p) = acc(p) + v * (h.toDouble / 2147483647.0 - 0.5)
+        p += 1
+      }
+      i += 1
+    }
+    var bucket = 0L
+    var p = 0
+    while (p < planes) { if (acc(p) > 0.0) bucket |= 1L << p; p += 1 }
+    bucket
+  }
+}
+
+/** `lshBucket(vec, planes)` as a native codegen'd expression — one pass over
+  * the array computing all plane projections, replacing `planes` interpreted
+  * aggregate/zip_with lambda chains (~1 µs/element each, an UnsafeArrayData
+  * materialized per step — the measured 6–36× anti-pattern). */
+case class LshBucketExpr(child: Expression, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def elemType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = child.dataType.isInstanceOf[ArrayType] &&
+      (elemType == FloatType || elemType == DoubleType) && planes >= 1 && planes <= 62
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"lshBucket expects array<float|double> and 1..62 planes, got ${child.dataType} / $planes")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  private def isFloat: Boolean = elemType == FloatType
+
+  override protected def nullSafeEval(a: Any): Any =
+    SimilarityKernel.lshBucket(a.asInstanceOf[ArrayData], planes, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.ann.SimilarityKernel.lshBucket($a, $planes, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
+    copy(child = newChild)
 }
 
 /** `dot(a, b)` over array<float>/array<double> as a native codegen'd

@@ -216,7 +216,10 @@ case class AsOfMergeExec(
           lastBuild != null &&
             entityOrdering.compare(buildEntityGen(lastBuild), probeEntityGen(p)) == 0 &&
             (tolMicros < 0 ||
-              micros(p, probeTsOrdinal) - micros(lastBuild, buildTsOrdinal) <= tolMicros)
+              // v1's tolerance predicate is three-valued: a null ts on either
+              // side makes `probe.ts - build.ts <= tol` NULL ⇒ no match.
+              (!p.isNullAt(probeTsOrdinal) && !lastBuild.isNullAt(buildTsOrdinal) &&
+                micros(p, probeTsOrdinal) - micros(lastBuild, buildTsOrdinal) <= tolMicros))
         outProject(joined(p, if (matched) lastBuild else nullBuild))
       }
     }

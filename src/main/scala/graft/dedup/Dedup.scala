@@ -147,23 +147,53 @@ object Dedup {
       .drop("_n")
   }
 
-  /** Embedding cosine near-duplicate pairs above a threshold, via the
-    * brute-force pair join (see graft.ann.Similarity for the LSH-bucketed
-    * scale path). Norms are computed ONCE per vector before the pair join
-    * (one dot per pair instead of three — 3× less of the dominant cost;
-    * identical IEEE value: cosine = dot/(norm_a·norm_b) either way). */
+  /** Embedding cosine near-duplicate pairs above a threshold.
+    *
+    * Default path (`exact = false`): banded random-hyperplane LSH — one
+    * portable codegen'd bucket per vector ([[graft.ann.Similarity.lshBucket]],
+    * `bands × rowsPerBand` planes), candidates only from same-band-bucket
+    * collisions (narrow (id,id) pairs, like [[minhashLshPairs]]), exact
+    * cosine re-rank on the candidates. NO cross join ever materializes —
+    * cost ∝ bucket collisions, the only shape that survives 100 TB. Recall
+    * < 1 by construction (pairs whose buckets never collide in any band are
+    * missed); raise `bands` for recall, `rowsPerBand` for precision.
+    *
+    * `exact = true` keeps the all-pairs brute force (O(n²·d) — test scale /
+    * small inputs only). Norms are computed ONCE per vector on both paths
+    * (one dot per pair instead of three; identical IEEE value). */
   def embeddingNearDupPairs(
       emb: DataFrame,
       threshold: Double,
       id: String = "vec_id",
-      vec: String = "embedding"
+      vec: String = "embedding",
+      exact: Boolean = false,
+      bands: Int = 8,
+      rowsPerBand: Int = 2
   ): DataFrame = {
     val a = emb.select(col(id).as("id_a"), col(vec).as("va"),
       graft.ann.Similarity.norm(col(vec)).as("_na"))
     val b = emb.select(col(id).as("id_b"), col(vec).as("vb"),
       graft.ann.Similarity.norm(col(vec)).as("_nb"))
-    a.crossJoin(b)
-      .where(col("id_a") < col("id_b"))
+    val paired =
+      if (exact) a.crossJoin(b).where(col("id_a") < col("id_b"))
+      else {
+        val planes = bands * rowsPerBand
+        val mask = (1L << rowsPerBand) - 1
+        val bucket = graft.ann.Similarity.lshBucket(col(vec), planes)
+        // band b's sub-bucket = bits [b·r, (b+1)·r) of the single bucket
+        val bandBuckets = array((0 until bands).map(bd =>
+          shiftright(bucket, bd * rowsPerBand).bitwiseAND(mask)): _*)
+        val banded = emb.select(col(id).as("_id"),
+          posexplode(bandBuckets).as(Seq("_band", "_bb")))
+        banded.select(col("_id").as("id_a"), col("_band"), col("_bb"))
+          .join(banded.select(col("_id").as("id_b"), col("_band"), col("_bb")), Seq("_band", "_bb"))
+          .where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+          .distinct()
+          .join(a, Seq("id_a"))
+          .join(b, Seq("id_b"))
+      }
+    paired
       .withColumn("cosine", graft.ann.Similarity.dot(col("va"), col("vb")) / (col("_na") * col("_nb")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

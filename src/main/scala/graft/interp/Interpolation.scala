@@ -100,15 +100,19 @@ object Interpolation {
     * (distance, bearing) draw per entity from N(mean, std) of its step
     * distances/bearings, offsetting every pre-gap point. DETERMINISTIC
     * DEVIATION: np.random.normal is replaced by a seeded Box–Muller draw
-    * keyed on xxhash64(traj_id, seed) so results are reproducible across
-    * retries/partitions (SURVEY.md §7.3). Entities with ≤ 3 points are left
-    * untouched (helpers.py:263). */
+    * keyed on ENGINE-PORTABLE integer hashes of the entity id
+    * (graft.functions.TextHash poly/affine family, not Spark-internal
+    * xxhash64) so results are reproducible across retries/partitions AND
+    * bit-recomputable by the DuckDB oracle (SURVEY.md §7.3). Entities with
+    * ≤ 3 points are left untouched (helpers.py:263). */
   def randomWalk(df: DataFrame, s: TrajSchema, rate: Double, seed: Long = 42L): DataFrame = {
     val withFeat = Kinematic.withBearing(Kinematic.withDistance(df, s), s)
-    def unif(salt: Int): Column = {
-      val u = (xxhash64(s.idCol, lit(seed), lit(salt)).cast("double") / 1.8446744073709552e19) + 0.5
-      greatest(least(u, lit(1.0 - 1e-12)), lit(1e-12))
-    }
+    val P = graft.functions.TextHash.P
+    // base entity hash folded with the seed, then one affine draw per salt;
+    // (h + 0.5) / P is strictly inside (0, 1) — no clamping needed
+    val base = (graft.functions.TextHash.polyHash(s.idCol.cast("string")) + lit(seed % P) + P) % P
+    def unif(salt: Int): Column =
+      (graft.functions.TextHash.affine(base, salt) + 0.5) / 2147483647.0
     val z1 = sqrt(lit(-2.0) * log(unif(1))) * cos(lit(2.0 * math.Pi) * unif(2))
     val z2 = sqrt(lit(-2.0) * log(unif(3))) * cos(lit(2.0 * math.Pi) * unif(4))
     val stats = s.wAll
