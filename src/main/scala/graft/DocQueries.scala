@@ -204,7 +204,10 @@ object DocQueries {
         .select(col("traj_id"), col("ts"), r(col("lat"), 6).as("lat"), r(col("lon"), 6).as("lon")))
   )
 
-  /** The shared rounded wide-stats builder (q_stat_wide / q_stat_long). */
+  /** The shared rounded wide-stats builder (q_stat_wide / q_stat_long) —
+    * exact percentiles via the two-pass rank interpolation
+    * ([[graft.stats.Stats.describeLong]]; no `percentile` group buffering,
+    * bit-identical values, memory bounded by the spillable window sort). */
   private def statWide(sp: SparkSession, dir: String): DataFrame = {
       val base = Kinematic.withKinematics(SparkEntry.traj(sp, dir), SparkEntry.S)
       val kinDigits = Seq(
@@ -212,24 +215,41 @@ object DocQueries {
         Kinematic.Acceleration -> 2, Kinematic.Jerk -> 2, Kinematic.Bearing -> 5,
         Kinematic.BearingRate -> 4, Kinematic.RateOfBearingRate -> 3)
       val rounded = kinDigits.foldLeft(base) { case (d, (c, dg)) => d.withColumn(c, r(col(c), dg)) }
-      // exact percentiles + stats (see oracle for the mirrored SQL)
+      val long = graft.stats.Stats.describeLong(rounded, Seq("traj_id"), kinDigits.map(_._1))
       // percentile digits = feature digits + 2: the linear interpolation of
       // 10^-d-grid values at f ∈ multiples of 0.05 lies exactly on the
       // 10^-(d+2) grid (grid POINTS, never half-cell boundaries)
-      val exprs = kinDigits.flatMap { case (f, dg) =>
+      val statAliases = Seq("_p0" -> "p10", "_p1" -> "p25", "_p2" -> "p50",
+        "_p3" -> "p75", "_p4" -> "p90")
+      val pivoted = long
+        .groupBy(col("traj_id"))
+        .pivot("_feature", kinDigits.map(_._1))
+        .agg(statAliases.map { case (c, a) => first(col(c)).as(a) }.head,
+          statAliases.map { case (c, a) => first(col(c)).as(a) }.tail: _*)
+      // moments from a direct hash-agg over the wide frame (NOT the stacked
+      // sort path): accumulation order there matches the DuckDB group agg at
+      // the 4-dp grid — summing in value-sorted order does not (observed
+      // boundary flips at sf0.01: 53381.47235 rounding either way)
+      val momentExprs = kinDigits.flatMap { case (f, _) =>
         Seq(
-          r(percentile(col(f), lit(0.1)), dg + 2).as(s"p10_$f"),
-          r(percentile(col(f), lit(0.25)), dg + 2).as(s"p25_$f"),
-          r(percentile(col(f), lit(0.5)), dg + 2).as(s"p50_$f"),
-          r(percentile(col(f), lit(0.75)), dg + 2).as(s"p75_$f"),
-          r(percentile(col(f), lit(0.9)), dg + 2).as(s"p90_$f"),
           min(col(f)).as(s"min_$f"),
           max(col(f)).as(s"max_$f"),
           r(avg(col(f)), 4).as(s"mean_$f"),
           r(stddev(col(f)), 4).as(s"std_$f")
         )
       }
-      rounded.groupBy(col("traj_id")).agg(exprs.head, exprs.tail: _*)
+      val moments = rounded.groupBy(col("traj_id")).agg(momentExprs.head, momentExprs.tail: _*)
+      val ordered = kinDigits.flatMap { case (f, dg) =>
+        Seq(
+          r(col(s"${f}_p10"), dg + 2).as(s"p10_$f"),
+          r(col(s"${f}_p25"), dg + 2).as(s"p25_$f"),
+          r(col(s"${f}_p50"), dg + 2).as(s"p50_$f"),
+          r(col(s"${f}_p75"), dg + 2).as(s"p75_$f"),
+          r(col(s"${f}_p90"), dg + 2).as(s"p90_$f"),
+          col(s"min_$f"), col(s"max_$f"), col(s"mean_$f"), col(s"std_$f")
+        )
+      }
+      pivoted.join(moments, Seq("traj_id"), "right").select(col("traj_id") +: ordered: _*)
   }
 
   val oracleSql: Map[String, String] = {

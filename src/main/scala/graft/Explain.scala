@@ -113,6 +113,32 @@ object Explain {
     println("=== grouped token kernel (must be shuffle-free) ===")
     check("grouped: zero exchanges")(!groupedPlan.contains("Exchange"))
 
+    // --- kinematic stats: NO percentile ImperativeAggregate (it buffers
+    // every group value in executor memory — the 100-TB OOM the two-pass
+    // rank formulation exists to avoid) and no object-hash agg on the path ---
+    val stats = graft.stats.Stats.kinematicStatsWide(t, SparkEntry.S)
+    val statsPlan = stats.queryExecution.executedPlan.toString
+    println("=== kinematic stats (two-pass percentiles, no group buffering) ===")
+    check("stats: no percentile aggregate")(!statsPlan.toLowerCase.contains("percentile"))
+    check("stats: no ObjectHashAggregate")(!statsPlan.contains("ObjectHashAggregate"))
+
+    // --- embedding near-dup default path: bucketed, never all-pairs ---
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nearDup = graft.dedup.Dedup.embeddingNearDupPairs(emb, threshold = 0.2)
+    val nearDupPlan = nearDup.queryExecution.executedPlan.toString
+    println("=== embedding near-dup (banded LSH — no cartesian product) ===")
+    check("neardup: no CartesianProduct")(!nearDupPlan.contains("CartesianProduct"))
+    check("neardup: no BroadcastNestedLoopJoin")(!nearDupPlan.contains("BroadcastNestedLoop"))
+
+    // --- visited_poi: inline predicate — single scan, zero joins/shuffles ---
+    val sur = t.where(col("traj_id") === "3")
+      .select(col("lat"), col("lon"), (col("lat") * 1000.0).as("dist_poi"))
+    val poi = graft.features.Contextual.visitedPoi(t, SparkEntry.S, sur, "dist_poi", 5000.0)
+    val poiPlan = poi.queryExecution.executedPlan.toString
+    println("=== visited_poi (inlined OR-chain — no join, no exchange) ===")
+    check("visited_poi: no join")(!poiPlan.contains("Join"))
+    check("visited_poi: no exchange")(!poiPlan.contains("Exchange"))
+
     if (failures.nonEmpty) {
       System.err.println("PLAN INVARIANT FAILURES:")
       failures.reverse.foreach(f => System.err.println(s"  ✗ $f"))

@@ -296,6 +296,22 @@ object SparkEntry {
     "q_flt_hampel" -> ((sp, dir) =>
       Hampel.filter(traj(sp, dir), S, "lat", k = 5, nSigma = 3.0)
         .select(col("traj_id"), col("event_id"))),
+    // F3 — bounding box by radius (driver-side scalar like the reference;
+    // golden vector at ptrail/preprocessing/tests/filters_test.py:42-45,
+    // asserted in FiltersSpec — this row puts it on the oracle gate too)
+    "q_flt_bbox_radius" -> ((sp, _) => {
+      val (latMin, lonMin, latMax, lonMax) = Geo.boundingBoxByRadius(39.0, 116.0, 100000.0)
+      sp.range(1).select(
+        r(lit(latMin), 9).as("min_lat"), r(lit(lonMin), 9).as("min_lon"),
+        r(lit(latMax), 9).as("max_lat"), r(lit(lonMax), 9).as("max_lon"))
+    }),
+    // S2 — reference dataset loader (column mapping + canonical coercion)
+    // over the committed traffic-format CSV fixture
+    "q_src_traffic_loader" -> ((sp, _) => {
+      val (df, _) = graft.sources.Datasets.load(
+        sp, "traffic", "/root/repo/src/test/resources/car_traffic_sample.csv")
+      df.select(col("traj_id"), col("ts"), col("lat"), col("lon"), col("velocity"))
+    }),
 
     // G-gap — sessionize (exact micros comparison)
     "q_ses_gap" -> ((sp, dir) =>
@@ -516,6 +532,18 @@ object SparkEntry {
            |)
            |SELECT traj_id, event_id FROM mad
            |WHERE NOT (nb = 5 AND na = 5 AND lat IS NOT NULL AND abs(lat - m) >= md * ${3.0 * Hampel.MadScale})""".stripMargin,
+      "q_flt_bbox_radius" ->
+        // mirror of Geo.boundingBoxByRadius(39, 116, 100000): Δlat = r/R,
+        // Δlon = asin(sin Δlat / cos lat); 9 dp absorbs libm ulp noise
+        """SELECT
+          |  round(degrees(radians(39.0) - 100000.0 / 6371000.0), 9) + 0.0 AS min_lat,
+          |  round(degrees(radians(116.0) - asin(sin(100000.0 / 6371000.0) / cos(radians(39.0)))), 9) + 0.0 AS min_lon,
+          |  round(degrees(radians(39.0) + 100000.0 / 6371000.0), 9) + 0.0 AS max_lat,
+          |  round(degrees(radians(116.0) + asin(sin(100000.0 / 6371000.0) / cos(radians(39.0)))), 9) + 0.0 AS max_lon""".stripMargin,
+      "q_src_traffic_loader" ->
+        """SELECT cast(traj_id AS varchar) AS traj_id, cast(DateTime AS timestamp) AS ts,
+          |  cast(lat AS double) AS lat, cast("long" AS double) AS lon, velocity
+          |FROM read_csv_auto('/root/repo/src/test/resources/car_traffic_sample.csv', header = true)""".stripMargin,
       "q_ses_gap" ->
         s"""$TrajSql, bnd AS (
            |  SELECT traj_id, ts, event_id,

@@ -36,23 +36,42 @@ object Dedup {
       TextHash.shingleHashes(TextHash.tokenHashes(col(text)), k).as("shingles")
     ).withColumn("n_shingles", size(col("shingles")))
 
-  /** True n-gram Jaccard for all pairs sharing ≥1 shingle, thresholded.
-    * |A∩B| from the inverted-index join; J = c / (|A|+|B|−c).
-    * Output: (id_a, id_b, jaccard) with id_a < id_b. */
+  /** Default document-frequency cap for [[ngramJaccardPairs]]: a shingle
+    * shared by f docs contributes f² candidate rows, so ONE boilerplate
+    * shingle at corpus scale detonates the join — the cap must be opt-OUT
+    * (pass `maxDf = Int.MaxValue` for exact semantics on bounded inputs).
+    * 10⁴ bounds any one shingle's contribution at 10⁸ narrow rows — large
+    * but finite on a cluster — while binding on no realistic near-dup pair
+    * (two docs sharing ONLY >10k-frequency shingles are boilerplate, not
+    * duplicates). */
+  val DefaultMaxDf: Int = 10000
+
+  /** Audit view for the cap: the shingles [[ngramJaccardPairs]] would drop
+    * at `maxDf`, with their document frequencies — run this (cheap: one
+    * count per distinct shingle) to LOG what a capped run ignored. */
+  def hotShingles(df: DataFrame, k: Int = 3, maxDf: Int = DefaultMaxDf,
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    shingles(df, k, id, text)
+      .select(explode(col("shingles")).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("doc_freq"))
+      .where(col("doc_freq") > maxDf)
+
+  /** True n-gram Jaccard for all pairs sharing ≥1 surviving shingle,
+    * thresholded. |A∩B| from the inverted-index join; J = c / (|A|+|B|−c).
+    * Output: (id_a, id_b, jaccard) with id_a < id_b. Shingles appearing in
+    * more than `maxDf` docs are dropped BEFORE the pair join (default
+    * [[DefaultMaxDf]] — see there; [[hotShingles]] reports what a cap
+    * dropped). */
   def ngramJaccardPairs(
       df: DataFrame,
       k: Int = 3,
       threshold: Double = 0.5,
       id: String = "doc_id",
       text: String = "text",
-      maxDf: Int = Int.MaxValue
+      maxDf: Int = DefaultMaxDf
   ): DataFrame = {
     val sh = shingles(df, k, id, text)
     val inv0 = sh.select(col(id).as("_id"), col("n_shingles").as("_n"), explode(col("shingles")).as("sh"))
-    // Scale valve: a shingle shared by f docs contributes f² join rows; at
-    // 100 TB hot shingles (boilerplate) explode the join. Capping document
-    // frequency (classic near-dup practice) bounds the blowup; the default
-    // keeps exact semantics.
     val inv =
       if (maxDf == Int.MaxValue) inv0
       else {

@@ -24,9 +24,15 @@ object Filters {
   def removeDuplicates(df: DataFrame, s: TrajSchema): DataFrame =
     df.dropDuplicates(Seq(s.id, s.ts, s.lat, s.lon))
 
-  /** F2 — single-entity selection (filters.py:54-83). */
-  def byTrajId(df: DataFrame, s: TrajSchema, id: String): DataFrame =
-    df.where(s.idCol === id)
+  /** F2 — single-entity selection. The reference RAISES when the id selects
+    * nothing (filters.py:75-83 catches the KeyError and re-raises) — mirrored
+    * here with an eager limit-1 existence probe (one cheap job; the only
+    * filter in the family with non-lazy semantics, by reference contract). */
+  def byTrajId(df: DataFrame, s: TrajSchema, id: String): DataFrame = {
+    val out = df.where(s.idCol === id)
+    require(!out.isEmpty, s"${s.id} '$id' does not match any rows (reference raises here)")
+    out
+  }
 
   /** F4 — bounding-box predicate; `inside=false` keeps the complement
     * (filters.py:128-155). */

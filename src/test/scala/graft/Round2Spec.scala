@@ -1,0 +1,91 @@
+package graft
+
+import graft.ann.Similarity
+import graft.dedup.Dedup
+import graft.filters.Filters
+import org.apache.spark.sql.functions._
+
+/** Round-2 hardening: LSH kernel/HOF parity, jaccard df-cap behavior,
+  * F2 raise-on-empty fidelity, visited_poi inline ≡ join-path equivalence. */
+class LshBucketParitySpec extends SparkSpec {
+
+  test("LshBucketExpr == HOF formulation bit-for-bit on driver embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Seq(2, 6, 16).foreach { planes =>
+      val bad = e.select(
+        (Similarity.lshBucket(col("embedding"), planes) <=>
+          Similarity.lshBucketHof(col("embedding"), planes)).as("ok")
+      ).where(!col("ok")).count()
+      assert(bad == 0, s"$planes planes: $bad rows diverge between kernel and HOF buckets")
+    }
+  }
+
+  test("banded near-dup is a subset of brute force with full-pair precision") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val approx = Dedup.embeddingNearDupPairs(e, threshold = 0.2)
+    val brute = Dedup.embeddingNearDupPairs(e, threshold = 0.2, exact = true)
+    // every banded pair is a true pair (exact re-rank ⇒ no false positives)
+    assert(approx.exceptAll(brute).count() == 0)
+    val recall = approx.count().toDouble / brute.count().toDouble
+    assert(recall >= 0.8, s"banded recall $recall below 0.8 on driver embeddings")
+  }
+}
+
+class JaccardCapSpec extends SparkSpec {
+
+  test("a hot shingle is dropped at maxDf and surfaces in the audit view") {
+    import spark.implicits._
+    // every doc shares the hot boilerplate trigram; only 1&2 share a rare one
+    val docs = Seq(
+      (1L, "alpha beta gamma rare one two"),
+      (2L, "alpha beta gamma rare one thing"),
+      (3L, "alpha beta gamma other words here"),
+      (4L, "alpha beta gamma more filler text")
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.01, maxDf = Int.MaxValue)
+    val capped = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.01, maxDf = 3)
+    // uncapped: all 6 pairs share 'alpha beta gamma'; capped: that shingle
+    // has df=4 > 3 and is dropped, so only pairs sharing a rarer shingle stay
+    assert(uncapped.count() == 6)
+    val cappedPairs = capped.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cappedPairs == Set((1L, 2L)), s"unexpected capped pairs: $cappedPairs")
+    val hot = Dedup.hotShingles(docs, k = 3, maxDf = 3).count()
+    assert(hot == 1, s"expected exactly the boilerplate shingle above the cap, got $hot")
+    // default cap is far above any df here — default run == exact run
+    assert(Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.01).count() == 6)
+  }
+}
+
+class FilterRaiseSpec extends SparkSpec {
+
+  test("F2 raises on an id that selects nothing (filters.py:75-83)") {
+    assert(Filters.byTrajId(fixture, S, "1").count() == 5)
+    val e = intercept[IllegalArgumentException] {
+      Filters.byTrajId(fixture, S, "no-such-entity")
+    }
+    assert(e.getMessage.contains("no-such-entity"))
+  }
+}
+
+class VisitedPoiPathsSpec extends SparkSpec {
+
+  test("inline OR-chain and semi∪anti join paths agree row-for-row") {
+    val t = SparkEntry.traj(spark, "/root/testdata/sf0.001")
+    val sur = t.where(col("traj_id") === "3")
+      .select(col("lat"), col("lon"), (col("lat") * 1000.0).as("dist_poi"))
+    val inline = graft.features.Contextual.visitedPoi(t, SparkEntry.S, sur, "dist_poi", 5000.0)
+    assert(sur.count() <= graft.features.Contextual.VisitedPoiInlineLimit,
+      "fixture layer must exercise the inline path")
+    // force the join fallback by shrinking nothing — call the private-ish
+    // fallback through a layer larger than the limit is impractical here;
+    // instead recompute the indicator with an explicit semi-join reference
+    val ref = {
+      val s = broadcast(sur.select(col("lat").as("_slat"), col("lon").as("_slon"), col("dist_poi").as("_sdist")))
+      val pred = abs(graft.kernels.Geo.haversine(col("lat"), col("lon"), col("_slat"), col("_slon")) - col("_sdist")) <= 5000.0
+      t.join(s, pred, "left_semi").withColumn("Nearby_POI", lit(true))
+        .unionByName(t.join(s, pred, "left_anti").withColumn("Nearby_POI", lit(false)))
+    }
+    assert(inline.exceptAll(ref).count() == 0 && ref.exceptAll(inline).count() == 0)
+    assert(inline.count() == t.count(), "indicator must preserve row count")
+  }
+}
