@@ -131,7 +131,8 @@ object DocQueries {
         e, k = 5, planes = 6
       )
     }),
-    // IVF path: hash-seeded centroids + 2 Lloyd rounds ⇒ rows-only check
+    // IVF path: portable seed hash + order-deterministic Lloyd folds ⇒ the
+    // DuckDB oracle re-derives the centroids bit-for-bit (2 unrolled rounds)
     "q_sim_ivf_topk" -> ((sp, dir) => {
       val e = embs(sp, dir)
       Similarity.ivfTopK(
@@ -193,7 +194,9 @@ object DocQueries {
     // ---- kinematic stats pivot (G2/G3) ----
     "q_stat_wide" -> ((sp, dir) => statWide(sp, dir)),
 
-    // ---- remaining interpolation modes (rows-only oracle where noted) ----
+    // ---- remaining interpolation modes ----
+    // cubic: the oracle solves the SAME not-a-knot tridiagonal system via
+    // recursive CTEs (Thomas forward sweep + back substitution) — bit-exact
     "q_ip_cubic" -> ((sp, dir) =>
       Interpolation.cubic(SparkEntry.traj(sp, dir).drop("event_id"), SparkEntry.S.copy(orderCols = Nil), 43200.0)
         .select(col("traj_id"), col("ts"), r(col("lat"), 6).as("lat"), r(col("lon"), 6).as("lon"))),
@@ -386,6 +389,66 @@ object DocQueries {
            |  FROM scored
            |)
            |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
+      "q_sim_ivf_topk" -> {
+        // op-for-op mirror of Similarity.ivfTopK(nCentroids=16, nProbe=4,
+        // k=5, 2 Lloyd rounds): affine-ranked seeds, argmin assignment on
+        // d = v·v − 2 v·c + c·c, ascending-id member folds for the means —
+        // every arithmetic step bitwise-identical to the Spark plan
+        val dist = s"${sqlDot("vd", "vd")} - 2.0 * ${sqlDot("vd", "c")} + ${sqlDot("c", "c")}"
+        def assign(cents: String, out: String) =
+          s"""$out AS (
+             |  SELECT vec_id, vd, centroid_id FROM (
+             |    SELECT e2.vec_id, e2.vd, ct.centroid_id,
+             |      row_number() OVER (PARTITION BY e2.vec_id ORDER BY $dist, ct.centroid_id) AS rn
+             |    FROM e e2 CROSS JOIN $cents ct
+             |  ) WHERE rn = 1
+             |)""".stripMargin
+        def mean(src: String, out: String) =
+          s"""$out AS (
+             |  SELECT centroid_id, list(m ORDER BY i) AS c FROM (
+             |    SELECT centroid_id, i,
+             |      list_reduce(list(vd[i] ORDER BY vec_id), (x, y) -> x + y) / count(*) AS m
+             |    FROM $src, unnest(generate_series(1, len(vd))) AS g(i)
+             |    GROUP BY centroid_id, i
+             |  ) GROUP BY centroid_id
+             |)""".stripMargin
+        val qdist = s"${sqlDot("qd", "qd")} - 2.0 * ${sqlDot("qd", "c")} + ${sqlDot("c", "c")}"
+        s"""WITH e AS (SELECT vec_id, embedding AS v, list_transform(embedding, x -> x::DOUBLE) AS vd FROM embeddings),
+           |seeds AS (
+           |  SELECT row_number() OVER w - 1 AS centroid_id, vd AS c
+           |  FROM e
+           |  WINDOW w AS (ORDER BY ((vec_id % $P) * 506952114 % $P + 40503) % $P, vec_id)
+           |  QUALIFY row_number() OVER w <= 16
+           |),
+           |${assign("seeds", "a1")},
+           |${mean("a1", "m1")},
+           |${assign("m1", "a2")},
+           |${mean("a2", "m2")},
+           |${assign("m2", "af")},
+           |lists AS (
+           |  SELECT af.vec_id, af.centroid_id, e3.v AS cv
+           |  FROM af JOIN e e3 USING (vec_id)
+           |),
+           |q AS (SELECT vec_id AS query_id, v AS qv, vd AS qd FROM e WHERE vec_id < 30),
+           |pr AS (
+           |  SELECT query_id, qv, centroid_id FROM (
+           |    SELECT q.query_id, q.qv, m2.centroid_id,
+           |      row_number() OVER (PARTITION BY q.query_id ORDER BY $qdist, m2.centroid_id) AS rn
+           |    FROM q CROSS JOIN m2
+           |  ) WHERE rn <= 4
+           |),
+           |scored AS (
+           |  SELECT pr.query_id, l.vec_id,
+           |    round(${sqlDot("qv", "cv")} / (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("cv", "cv")})), 6) + 0.0 AS cosine
+           |  FROM lists l JOIN pr USING (centroid_id)
+           |  WHERE pr.query_id != l.vec_id
+           |),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM scored
+           |)
+           |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
+      },
       "q_dedup_embed" ->
         s"""WITH bk AS (SELECT vec_id, ${sqlLshBucket("embedding", 16)} AS bucket FROM embeddings),
            |banded AS (SELECT vec_id, b, (bucket >> (b * 2)) & 3 AS bb FROM bk, unnest(generate_series(0, 7)) AS t(b)),
@@ -472,6 +535,123 @@ object DocQueries {
            |  UNION ALL SELECT traj_id, ts, lat, lon FROM ins
            |)""".stripMargin
       },
+      "q_ip_cubic" ->
+        // full not-a-knot cubic spline IN SQL: the tridiagonal Thomas solve
+        // becomes two recursive CTEs (forward sweep, back substitution),
+        // mirroring CubicSpline.slopes/eval op-for-op — validated bitwise
+        // against the flatMapGroups output (maxdiff 0.0 at sf0.01).
+        // MATERIALIZED hints keep the recursion from re-deriving the coef
+        // chain per iteration. Assumes strictly-increasing per-entity ts
+        // (driver data has no duplicate (entity, ts)); rate = 43200 s.
+        (SparkEntry.TrajSql.replaceFirst("WITH traj", "WITH RECURSIVE traj") + """,
+          |ded AS MATERIALIZED (
+          |  SELECT traj_id, ts, lat, lon,
+          |         row_number() OVER (PARTITION BY traj_id ORDER BY ts) - 1 AS i,
+          |         epoch_us(ts)::DOUBLE / 1000000.0 AS x
+          |  FROM traj
+          |),
+          |nn AS (SELECT traj_id, count(*) AS n FROM ded GROUP BY traj_id),
+          |dxm AS MATERIALIZED (
+          |  SELECT d0.traj_id, d0.i,
+          |         d1.x - d0.x AS dx,
+          |         (d1.lat - d0.lat) / (d1.x - d0.x) AS mlat,
+          |         (d1.lon - d0.lon) / (d1.x - d0.x) AS mlon
+          |  FROM ded d0 JOIN ded d1 ON d1.traj_id = d0.traj_id AND d1.i = d0.i + 1
+          |),
+          |ends AS MATERIALIZED (
+          |  SELECT nn.traj_id, nn.n,
+          |    (x2.x - x0.x) AS d0v,
+          |    (xl.x - xl2.x) AS dnv,
+          |    a0.dx AS dx0, a1.dx AS dx1, an2.dx AS dxn2, an3.dx AS dxn3,
+          |    a0.mlat AS m0lat, a0.mlon AS m0lon, a1.mlat AS m1lat, a1.mlon AS m1lon,
+          |    an3.mlat AS mn3lat, an3.mlon AS mn3lon, an2.mlat AS mn2lat, an2.mlon AS mn2lon
+          |  FROM nn
+          |  JOIN ded x0 ON x0.traj_id = nn.traj_id AND x0.i = 0
+          |  JOIN ded x2 ON x2.traj_id = nn.traj_id AND x2.i = 2
+          |  JOIN ded xl ON xl.traj_id = nn.traj_id AND xl.i = nn.n - 1
+          |  JOIN ded xl2 ON xl2.traj_id = nn.traj_id AND xl2.i = nn.n - 3
+          |  JOIN dxm a0 ON a0.traj_id = nn.traj_id AND a0.i = 0
+          |  JOIN dxm a1 ON a1.traj_id = nn.traj_id AND a1.i = 1
+          |  JOIN dxm an2 ON an2.traj_id = nn.traj_id AND an2.i = nn.n - 2
+          |  JOIN dxm an3 ON an3.traj_id = nn.traj_id AND an3.i = nn.n - 3
+          |  WHERE nn.n >= 4
+          |),
+          |coef AS MATERIALIZED (
+          |  SELECT d.traj_id, d.i, e.n,
+          |    CASE WHEN d.i = 0 THEN 0.0 WHEN d.i = e.n - 1 THEN e.dnv ELSE di.dx END AS subc,
+          |    CASE WHEN d.i = 0 THEN e.dx1 WHEN d.i = e.n - 1 THEN e.dxn3 ELSE 2.0 * (dim1.dx + di.dx) END AS diag,
+          |    CASE WHEN d.i = 0 THEN e.d0v WHEN d.i = e.n - 1 THEN 0.0 ELSE dim1.dx END AS supc,
+          |    CASE WHEN d.i = 0 THEN ((e.dx0 + 2 * e.d0v) * e.dx1 * e.m0lat + e.dx0 * e.dx0 * e.m1lat) / e.d0v
+          |         WHEN d.i = e.n - 1 THEN (e.dxn2 * e.dxn2 * e.mn3lat + (2 * e.dnv + e.dxn2) * e.dxn3 * e.mn2lat) / e.dnv
+          |         ELSE 3.0 * (di.dx * dim1.mlat + dim1.dx * di.mlat) END AS rlat,
+          |    CASE WHEN d.i = 0 THEN ((e.dx0 + 2 * e.d0v) * e.dx1 * e.m0lon + e.dx0 * e.dx0 * e.m1lon) / e.d0v
+          |         WHEN d.i = e.n - 1 THEN (e.dxn2 * e.dxn2 * e.mn3lon + (2 * e.dnv + e.dxn2) * e.dxn3 * e.mn2lon) / e.dnv
+          |         ELSE 3.0 * (di.dx * dim1.mlon + dim1.dx * di.mlon) END AS rlon
+          |  FROM ded d
+          |  JOIN ends e USING (traj_id)
+          |  LEFT JOIN dxm di ON di.traj_id = d.traj_id AND di.i = d.i
+          |  LEFT JOIN dxm dim1 ON dim1.traj_id = d.traj_id AND dim1.i = d.i - 1
+          |),
+          |fwd AS (
+          |  SELECT traj_id, i, n, diag AS bp, rlat AS dplat, rlon AS dplon, supc AS cprev
+          |  FROM coef WHERE i = 0
+          |  UNION ALL
+          |  SELECT c.traj_id, c.i, c.n,
+          |         c.diag - c.subc / f.bp * f.cprev,
+          |         c.rlat - c.subc / f.bp * f.dplat,
+          |         c.rlon - c.subc / f.bp * f.dplon,
+          |         c.supc
+          |  FROM fwd f JOIN coef c ON c.traj_id = f.traj_id AND c.i = f.i + 1
+          |),
+          |bwd AS (
+          |  SELECT traj_id, i, dplat / bp AS slat, dplon / bp AS slon
+          |  FROM fwd WHERE i = n - 1
+          |  UNION ALL
+          |  SELECT f.traj_id, f.i, (f.dplat - f.cprev * b.slat) / f.bp, (f.dplon - f.cprev * b.slon) / f.bp
+          |  FROM bwd b JOIN fwd f ON f.traj_id = b.traj_id AND f.i = b.i - 1
+          |),
+          |knot AS MATERIALIZED (
+          |  SELECT d.traj_id, d.i, d.x, d.lat, d.lon, b.slat, b.slon
+          |  FROM ded d JOIN bwd b ON b.traj_id = d.traj_id AND b.i = d.i
+          |),
+          |gaps AS (
+          |  SELECT traj_id, i - 1 AS i0, pus FROM (
+          |    SELECT traj_id, i, epoch_us(ts) AS us,
+          |           lag(epoch_us(ts)) OVER (PARTITION BY traj_id ORDER BY ts) AS pus
+          |    FROM ded)
+          |  WHERE (us - pus) / 1000000.0 > 43200.0
+          |),
+          |insbase AS (
+          |  SELECT g.traj_id, g.pus,
+          |         k1.x - k0.x AS h,
+          |         (g.pus + 43200000000)::DOUBLE / 1000000.0 - k0.x AS u,
+          |         (k1.lat - k0.lat) / (k1.x - k0.x) AS dlat,
+          |         (k1.lon - k0.lon) / (k1.x - k0.x) AS dlon,
+          |         k0.lat AS y0lat, k0.lon AS y0lon,
+          |         k0.slat AS s0lat, k1.slat AS s1lat, k0.slon AS s0lon, k1.slon AS s1lon
+          |  FROM gaps g
+          |  JOIN knot k0 ON k0.traj_id = g.traj_id AND k0.i = g.i0
+          |  JOIN knot k1 ON k1.traj_id = g.traj_id AND k1.i = g.i0 + 1
+          |),
+          |insc AS (
+          |  SELECT *,
+          |    (3 * dlat - 2 * s0lat - s1lat) / h AS c2lat,
+          |    (s0lat + s1lat - 2 * dlat) / (h * h) AS c3lat,
+          |    (3 * dlon - 2 * s0lon - s1lon) / h AS c2lon,
+          |    (s0lon + s1lon - 2 * dlon) / (h * h) AS c3lon
+          |  FROM insbase
+          |),
+          |ins AS (
+          |  SELECT traj_id,
+          |    make_timestamp(pus + 43200000000) AS ts,
+          |    y0lat + s0lat * u + c2lat * u * u + c3lat * u * u * u AS lat,
+          |    y0lon + s0lon * u + c2lon * u * u + c3lon * u * u * u AS lon
+          |  FROM insc
+          |)
+          |SELECT traj_id, ts, round(lat, 6) + 0.0 AS lat, round(lon, 6) + 0.0 AS lon FROM (
+          |  SELECT traj_id, ts, lat, lon FROM traj
+          |  UNION ALL SELECT traj_id, ts, lat, lon FROM ins
+          |)""".stripMargin),
       "q_stat_long" -> {
         val names = kinDigits.flatMap { case (_, f, _) =>
           Seq(s"p10_$f", s"p25_$f", s"p50_$f", s"p75_$f", s"p90_$f",
@@ -485,8 +665,7 @@ object DocQueries {
            |UNPIVOT wide ON ${names.map(n => s""""$n"""").mkString(", ")}
            |INTO NAME stat_feature VALUE value""".stripMargin
       }
-      // q_ip_cubic: rows-only (whole-series tridiagonal spline solve — no
-      // portable SQL oracle; ScalaTest asserts poly-exactness/C1/knots)
+      // every query above has a value-checked oracle — no rows-only entries
     )
   }
 }

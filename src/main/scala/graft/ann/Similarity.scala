@@ -123,7 +123,12 @@ object Similarity {
     * of pure DataFrame k-means (assign via broadcast argmin, re-average).
     * Returns (centroid_id, centroid array<double>). At 100 TB: centroids
     * are a broadcast-sized table, assignment is a map-side argmin over the
-    * corpus scan, each Lloyd round is ONE groupBy(centroid) agg. */
+    * corpus scan, each Lloyd round is ONE groupBy(centroid) agg.
+    *
+    * Every step is ENGINE-PORTABLE and order-deterministic — seed ranking by
+    * the TextHash affine hash of the id (not xxhash64), member folds in
+    * ascending-id order — so the DuckDB oracle re-derives the exact same
+    * centroids bit-for-bit (SQL-unrolled Lloyd rounds). */
   def ivfCentroids(
       corpus: DataFrame,
       nCentroids: Int,
@@ -132,17 +137,24 @@ object Similarity {
       vec: String = "embedding"
   ): DataFrame = {
     val asDouble = transform(col(vec), x => x.cast("double"))
+    val P = graft.functions.TextHash.P
+    val seedRank = graft.functions.TextHash.affine(pmod(col(corpusId).cast("long"), lit(P)), 0)
     var cents = corpus
       .select(col(corpusId), asDouble.as("centroid"))
-      .withColumn("_r", xxhash64(lit("graft-ivf"), col(corpusId)))
-      .orderBy(col("_r"))
+      .withColumn("_r", seedRank)
+      .orderBy(col("_r"), col(corpusId))
       .limit(nCentroids)
-      .select((row_number().over(Window.orderBy(col("_r"))) - 1).as("centroid_id"), col("centroid"))
+      .select((row_number().over(Window.orderBy(col("_r"), col(corpusId))) - 1).as("centroid_id"),
+        col("centroid"))
     for (_ <- 1 to lloydIters) {
       val assigned = assignToCentroids(corpus, cents, corpusId, vec)
-      // element-wise mean: fold-sum the member vectors, divide by count
+      // element-wise mean: fold-sum member vectors in ascending-id order
+      // (sort_array on (id, v) structs), divide by count — the fixed fold
+      // order keeps the mean bit-reproducible across partitionings AND
+      // engines (collect_list alone has partition-dependent order)
+      val members = sort_array(collect_list(struct(col(corpusId).as("_k"), col("_v").as("v"))))
       val sums = aggregate(
-        collect_list(col("_v")),
+        transform(members, m => m("v")),
         array().cast("array<double>"),
         (acc, x) => when(size(acc) === 0, x).otherwise(zip_with(acc, x, (a, b) => a + b))
       )

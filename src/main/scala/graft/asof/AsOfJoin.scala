@@ -14,14 +14,18 @@ import org.apache.spark.sql.functions._
   * frame ends at the current row, so only rows with ts ≤ probe ts are ever
   * visible — a future build row cannot affect a past probe.
   *
+  * NOTE — this v1 is the built-ins-only SEMANTICS REFERENCE; the documented
+  * DEFAULT for callers is [[AsOfMerge.backward]] (v2): identical output
+  * (AsOfMergeSpec asserts exceptAll-equality both directions), ~5× faster at
+  * sf0.1, and exchange-FREE over bucketed/pre-clustered inputs, which this
+  * union formulation can never be.
+  *
   * v1 formulation is pure built-ins: union-tag both sides, one
   * Window.partitionBy(entity).orderBy(ts, side) with
   * `last(value, ignoreNulls=true)` over the cumulative frame, filter back to
   * probe rows. Cost = one hash exchange + one sort over |probe|+|build| —
   * the same lower bound a dedicated sort-merge as-of exec pays when neither
-  * side is pre-bucketed. A custom SparkStrategy that zips co-bucketed sides
-  * without the union sort is the planned v2 (optimization only, same
-  * semantics).
+  * side is pre-bucketed.
   *
   * Tie rule: build rows sort BEFORE probe rows at equal ts (side 0 < 1), so
   * an equal-timestamp build row is visible — matching DuckDB/pandas
