@@ -40,14 +40,12 @@ object Contextual {
     *
     * The surrounding layer is dimension-sized by the operator's contract
     * (the reference holds it as an in-memory geopandas frame), so instead of
-    * a nested-loop JOIN the predicate is inlined as an OR-chain of
-    * whole-stage-codegen'd haversine terms over the collected layer: ONE
-    * scan of the big side, ZERO shuffles/joins, no duplicate-row
-    * multiplication hazard. Layers beyond [[VisitedPoiInlineLimit]] rows
-    * fall back to a semi ∪ anti broadcast NLJ pair (two scans, still no
-    * shuffle on the big side, still dup-safe). */
-  val VisitedPoiInlineLimit: Int = 256
-
+    * a nested-loop JOIN the predicate runs as ONE codegen'd kernel call per
+    * point ([[graft.kernels.NearPoiExpr]]) looping the collected layer
+    * arrays: one scan of the big side, ZERO shuffles/joins, no duplicate-row
+    * multiplication hazard, early exit on the first hit. Null-field layer
+    * rows keep the declarative three-valued-OR semantics (no hit + a null
+    * term ⇒ null ⇒ coalesced false, like the unmatched semi-join rows). */
   def visitedPoi(
       df: DataFrame,
       s: TrajSchema,
@@ -58,26 +56,14 @@ object Contextual {
     val layer = surrounding
       .select(col(s.lat).cast("double"), col(s.lon).cast("double"), col(distColumn).cast("double"))
       .collect()
-    if (layer.length <= VisitedPoiInlineLimit) {
-      val terms = layer.toIndexedSeq.map { r =>
-        val near: Column =
-          if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)) lit(null).cast("boolean")
-          else abs(Geo.haversine(s.latCol, s.lonCol, lit(r.getDouble(0)), lit(r.getDouble(1))) -
-            lit(r.getDouble(2))) <= thresholdM
-        near
-      }
-      // null-valued terms (null layer fields or null point coords) never
-      // satisfy OR; coalesce resolves the all-null/no-true case to false —
-      // the same rows a left-semi join would leave unmatched
-      val pred = if (terms.isEmpty) lit(false) else terms.reduce(_ || _)
-      df.withColumn("Nearby_POI", coalesce(pred, lit(false)))
-    } else {
-      val sur = broadcast(
-        surrounding.select(col(s.lat).as("_slat"), col(s.lon).as("_slon"), col(distColumn).as("_sdist")))
-      val pred = abs(Geo.haversine(s.latCol, s.lonCol, col("_slat"), col("_slon")) - col("_sdist")) <= thresholdM
-      df.join(sur, pred, "left_semi").withColumn("Nearby_POI", lit(true))
-        .unionByName(df.join(sur, pred, "left_anti").withColumn("Nearby_POI", lit(false)))
-    }
+    val valid = layer.filter(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
+    val expr = graft.kernels.NearPoiExpr(
+      org.apache.spark.sql.GraftSqlBridge.expression(s.latCol.cast("double")),
+      org.apache.spark.sql.GraftSqlBridge.expression(s.lonCol.cast("double")),
+      valid.map(_.getDouble(0)), valid.map(_.getDouble(1)), valid.map(_.getDouble(2)),
+      thresholdM, hasNullRow = valid.length != layer.length)
+    df.withColumn("Nearby_POI",
+      coalesce(org.apache.spark.sql.GraftSqlBridge.column(expr), lit(false)))
   }
 
   /** C5 (offline form) — nearest POI per point. The reference pulls the POI

@@ -58,4 +58,86 @@ object Geo {
     * Null-in → null-out (Spark semantics match pandas NaN chains). */
   def infToNull(c: Column): Column =
     when(c === Double.PositiveInfinity || c === Double.NegativeInfinity, lit(null)).otherwise(c)
+
+  /** Scalar kernel for [[graft.features.Contextual.visitedPoi]]: ∃ layer row
+    * r with |haversine(point, r) − r.dist| ≤ thr, over the collected layer
+    * arrays. Trig op order mirrors [[haversine]] exactly (java.lang.Math ==
+    * whole-stage-codegen intrinsics), cos(point) hoisted (pure, same value).
+    * Returns 1 = true, 0 = false, −1 = null (three-valued OR: no hit but the
+    * layer had a null-field row the declarative chain would null on). */
+  def nearPoi(lat: Double, lon: Double,
+      slat: Array[Double], slon: Array[Double], sdist: Array[Double],
+      thr: Double, hasNullRow: Boolean): Byte = {
+    val p1 = math.toRadians(lat)
+    val c1 = math.cos(p1)
+    val rlon1 = math.toRadians(lon)
+    var i = 0
+    while (i < slat.length) {
+      val p2 = math.toRadians(slat(i))
+      val sdLat = math.sin((p2 - p1) / 2.0)
+      val sdLon = math.sin((math.toRadians(slon(i)) - rlon1) / 2.0)
+      val a = sdLat * sdLat + c1 * math.cos(p2) * sdLon * sdLon
+      val d = 2.0 * math.atan2(math.sqrt(a), math.sqrt(1.0 - a)) * EarthRadiusMeters
+      if (math.abs(d - sdist(i)) <= thr) return 1
+      i += 1
+    }
+    if (hasNullRow) -1 else 0
+  }
+}
+
+/** `nearPoi(lat, lon)` over a driver-collected POI layer as ONE native
+  * codegen'd expression: a single loop over primitive arrays per row instead
+  * of a per-layer-row OR-chain (codegen blow-up past a few hundred terms) or
+  * a second NLJ pass. The layer ships as plan reference objects — the same
+  * bytes a broadcast would carry, with zero join machinery. */
+case class NearPoiExpr(
+    lat: org.apache.spark.sql.catalyst.expressions.Expression,
+    lon: org.apache.spark.sql.catalyst.expressions.Expression,
+    slat: Array[Double],
+    slon: Array[Double],
+    sdist: Array[Double],
+    thresholdM: Double,
+    hasNullRow: Boolean
+) extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType}
+
+  override def left: Expression = lat
+  override def right: Expression = lon
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (lat.dataType == DoubleType && lon.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"nearPoi expects double coordinates, got (${lat.dataType}, ${lon.dataType})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Geo.nearPoi(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      slat, slon, sdist, thresholdM, hasNullRow) match {
+      case 1  => true
+      case 0  => false
+      case _  => null
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val slatRef = ctx.addReferenceObj("slat", slat, "double[]")
+    val slonRef = ctx.addReferenceObj("slon", slon, "double[]")
+    val sdistRef = ctx.addReferenceObj("sdist", sdist, "double[]")
+    val r = ctx.freshName("nearPoi")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |byte $r = graft.kernels.Geo.nearPoi($a, $b, $slatRef, $slonRef, $sdistRef,
+         |  $thresholdM, $hasNullRow);
+         |${ev.isNull} = $r < 0;
+         |${ev.value} = $r == 1;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression): NearPoiExpr =
+    copy(lat = newLeft, lon = newRight)
 }

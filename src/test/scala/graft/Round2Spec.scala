@@ -69,16 +69,11 @@ class FilterRaiseSpec extends SparkSpec {
 
 class VisitedPoiPathsSpec extends SparkSpec {
 
-  test("inline OR-chain and semi∪anti join paths agree row-for-row") {
+  test("kernel path agrees row-for-row with a semi∪anti join reference") {
     val t = SparkEntry.traj(spark, "/root/testdata/sf0.001")
     val sur = t.where(col("traj_id") === "3")
       .select(col("lat"), col("lon"), (col("lat") * 1000.0).as("dist_poi"))
     val inline = graft.features.Contextual.visitedPoi(t, SparkEntry.S, sur, "dist_poi", 5000.0)
-    assert(sur.count() <= graft.features.Contextual.VisitedPoiInlineLimit,
-      "fixture layer must exercise the inline path")
-    // force the join fallback by shrinking nothing — call the private-ish
-    // fallback through a layer larger than the limit is impractical here;
-    // instead recompute the indicator with an explicit semi-join reference
     val ref = {
       val s = broadcast(sur.select(col("lat").as("_slat"), col("lon").as("_slon"), col("dist_poi").as("_sdist")))
       val pred = abs(graft.kernels.Geo.haversine(col("lat"), col("lon"), col("_slat"), col("_slon")) - col("_sdist")) <= 5000.0
