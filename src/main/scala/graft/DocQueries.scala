@@ -142,10 +142,12 @@ object DocQueries {
     }),
 
     // ---- embedding near-duplicate pairs ----
-    // default = banded-LSH candidates + exact re-rank (the 100-TB shape);
-    // the oracle mirrors the same portable buckets, so the match is exact
+    // banded-LSH candidates + exact re-rank (the 100-TB shape); the oracle
+    // mirrors the same portable buckets, so the match is exact. rowsPerBand
+    // is pinned at 2 (wide buckets) because the test threshold 0.2 sits far
+    // below real near-dup similarity — see the sizing law in the scaladoc
     "q_dedup_embed" -> ((sp, dir) =>
-      Dedup.embeddingNearDupPairs(embs(sp, dir), threshold = 0.2)
+      Dedup.embeddingNearDupPairs(embs(sp, dir), threshold = 0.2, bands = 8, rowsPerBand = 2)
         .select(col("id_a"), col("id_b"), r(col("cosine"), 6).as("cosine"))),
     // all-pairs reference path (exact = true), kept oracle-checked
     "q_dedup_embed_exact" -> ((sp, dir) =>
@@ -244,15 +246,17 @@ object DocQueries {
       val moments = rounded.groupBy(col("traj_id")).agg(momentExprs.head, momentExprs.tail: _*)
       val ordered = kinDigits.flatMap { case (f, dg) =>
         Seq(
-          r(col(s"${f}_p10"), dg + 2).as(s"p10_$f"),
-          r(col(s"${f}_p25"), dg + 2).as(s"p25_$f"),
-          r(col(s"${f}_p50"), dg + 2).as(s"p50_$f"),
-          r(col(s"${f}_p75"), dg + 2).as(s"p75_$f"),
-          r(col(s"${f}_p90"), dg + 2).as(s"p90_$f"),
-          col(s"min_$f"), col(s"max_$f"), col(s"mean_$f"), col(s"std_$f")
+          r(col(s"_pv.`${f}_p10`"), dg + 2).as(s"p10_$f"),
+          r(col(s"_pv.`${f}_p25`"), dg + 2).as(s"p25_$f"),
+          r(col(s"_pv.`${f}_p50`"), dg + 2).as(s"p50_$f"),
+          r(col(s"_pv.`${f}_p75`"), dg + 2).as(s"p75_$f"),
+          r(col(s"_pv.`${f}_p90`"), dg + 2).as(s"p90_$f"),
+          col(s"_mo.`min_$f`"), col(s"_mo.`max_$f`"), col(s"_mo.`mean_$f`"), col(s"_mo.`std_$f`")
         )
       }
-      pivoted.join(moments, Seq("traj_id"), "right").select(col("traj_id") +: ordered: _*)
+      // null-safe key equality (a null entity key is one group, like groupBy)
+      pivoted.as("_pv").join(moments.as("_mo"), col("_pv.traj_id") <=> col("_mo.traj_id"), "right")
+        .select(col("_mo.traj_id").as("traj_id") +: ordered: _*)
   }
 
   val oracleSql: Map[String, String] = {

@@ -128,26 +128,41 @@ object Similarity {
     * Every step is ENGINE-PORTABLE and order-deterministic — seed ranking by
     * the TextHash affine hash of the id (not xxhash64), member folds in
     * ascending-id order — so the DuckDB oracle re-derives the exact same
-    * centroids bit-for-bit (SQL-unrolled Lloyd rounds). */
+    * centroids bit-for-bit (SQL-unrolled Lloyd rounds).
+    *
+    * The deterministic per-centroid mean (sorted collect_list fold) buffers
+    * its members, so Lloyd refinement trains on a BOUNDED deterministic
+    * subsample: the `trainCap` lowest-hash-ranked rows (seeds are its
+    * prefix). Standard quantizer practice — IVF centroids need a sample, the
+    * full corpus is assigned map-side afterward — and it caps any one
+    * aggregation buffer at ~trainCap/nCentroids vectors no matter the corpus
+    * size. Corpora ≤ trainCap (every test SF) train on everything, so the
+    * SQL oracle is unchanged. */
   def ivfCentroids(
       corpus: DataFrame,
       nCentroids: Int,
       lloydIters: Int = 2,
       corpusId: String = "vec_id",
-      vec: String = "embedding"
+      vec: String = "embedding",
+      trainCap: Int = 65536
   ): DataFrame = {
     val asDouble = transform(col(vec), x => x.cast("double"))
     val P = graft.functions.TextHash.P
     val seedRank = graft.functions.TextHash.affine(pmod(col(corpusId).cast("long"), lit(P)), 0)
-    var cents = corpus
-      .select(col(corpusId), asDouble.as("centroid"))
+    require(trainCap >= nCentroids, "trainCap must cover the seed count")
+    val train = corpus
+      .select(col(corpusId), col(vec))
       .withColumn("_r", seedRank)
+      .orderBy(col("_r"), col(corpusId))
+      .limit(trainCap)
+    var cents = train
+      .select(col(corpusId), asDouble.as("centroid"), col("_r"))
       .orderBy(col("_r"), col(corpusId))
       .limit(nCentroids)
       .select((row_number().over(Window.orderBy(col("_r"), col(corpusId))) - 1).as("centroid_id"),
         col("centroid"))
     for (_ <- 1 to lloydIters) {
-      val assigned = assignToCentroids(corpus, cents, corpusId, vec)
+      val assigned = assignToCentroids(train.drop("_r"), cents, corpusId, vec)
       // element-wise mean: fold-sum member vectors in ascending-id order
       // (sort_array on (id, v) structs), divide by count — the fixed fold
       // order keeps the mean bit-reproducible across partitionings AND

@@ -42,11 +42,17 @@ object SimilarityKernel {
     * ([[Similarity.lshBucketHof]]) and the SQL list_reduce mirror exactly.
     * Arrays containing a null element hash to bucket 0 (the HOF's
     * null-poisoned sums fail every `> 0` test). */
-  def lshBucket(a: ArrayData, planes: Int, isFloat: Boolean): Long = {
+  /** Per-plane affine multipliers/offsets — derived once per expression
+    * (plan reference objects), not per row. */
+  def lshPlaneAs(planes: Int): Array[Long] =
+    Array.tabulate(planes)(p => 506952114L * (2 * p + 1) % 2147483647L)
+  def lshPlaneBs(planes: Int): Array[Long] =
+    Array.tabulate(planes)(p => (40503L * (p + 1)) % 2147483647L)
+
+  def lshBucket(a: ArrayData, as: Array[Long], bs: Array[Long], isFloat: Boolean): Long = {
     val P = 2147483647L
     if (hasNull(a)) return 0L
-    val as = Array.tabulate(planes)(p => 506952114L * (2 * p + 1) % P)
-    val bs = Array.tabulate(planes)(p => (40503L * (p + 1)) % P)
+    val planes = as.length
     val acc = new Array[Double](planes)
     val n = a.numElements()
     var i = 0
@@ -63,7 +69,14 @@ object SimilarityKernel {
     }
     var bucket = 0L
     var p = 0
-    while (p < planes) { if (acc(p) > 0.0) bucket |= 1L << p; p += 1 }
+    while (p < planes) {
+      // Spark SQL and DuckDB order NaN ABOVE every value, so `s > 0.0` is
+      // TRUE for a NaN projection there — Java's `>` is false on NaN, so the
+      // kernel must special-case it to keep bit parity (KernelEdgeSpec law)
+      val s = acc(p)
+      if (s > 0.0 || java.lang.Double.isNaN(s)) bucket |= 1L << p
+      p += 1
+    }
     bucket
   }
 }
@@ -89,12 +102,18 @@ case class LshBucketExpr(child: Expression, planes: Int)
 
   private def isFloat: Boolean = elemType == FloatType
 
-  override protected def nullSafeEval(a: Any): Any =
-    SimilarityKernel.lshBucket(a.asInstanceOf[ArrayData], planes, isFloat)
+  @transient private lazy val planeAs = SimilarityKernel.lshPlaneAs(planes)
+  @transient private lazy val planeBs = SimilarityKernel.lshPlaneBs(planes)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def nullSafeEval(a: Any): Any =
+    SimilarityKernel.lshBucket(a.asInstanceOf[ArrayData], planeAs, planeBs, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("lshPlaneAs", planeAs, "long[]")
+    val bsRef = ctx.addReferenceObj("lshPlaneBs", planeBs, "long[]")
     defineCodeGen(ctx, ev, a =>
-      s"graft.ann.SimilarityKernel.lshBucket($a, $planes, $isFloat)")
+      s"graft.ann.SimilarityKernel.lshBucket($a, $asRef, $bsRef, $isFloat)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
     copy(child = newChild)

@@ -56,12 +56,16 @@ object Dedup {
       .groupBy(col("sh")).agg(count(lit(1)).as("doc_freq"))
       .where(col("doc_freq") > maxDf)
 
-  /** True n-gram Jaccard for all pairs sharing ≥1 surviving shingle,
-    * thresholded. |A∩B| from the inverted-index join; J = c / (|A|+|B|−c).
-    * Output: (id_a, id_b, jaccard) with id_a < id_b. Shingles appearing in
-    * more than `maxDf` docs are dropped BEFORE the pair join (default
-    * [[DefaultMaxDf]] — see there; [[hotShingles]] reports what a cap
-    * dropped). */
+  /** n-gram Jaccard for all pairs sharing ≥1 surviving shingle, thresholded.
+    * |A∩B| from the inverted-index join; J = c / (|A|+|B|−c). Output:
+    * (id_a, id_b, jaccard) with id_a < id_b. Shingles appearing in more than
+    * `maxDf` docs are dropped BEFORE the pair join (default [[DefaultMaxDf]]
+    * — see there; [[hotShingles]] reports what a cap dropped), and J is the
+    * TRUE Jaccard of the SURVIVING shingle sets — |A| and |B| are recounted
+    * after the cap, so a pair of near-duplicates whose overlap is mostly
+    * boilerplate is scored on its residual content, never diluted by
+    * counting dropped shingles in the denominator only. With the cap
+    * disabled (`maxDf = Int.MaxValue`) this is exact set Jaccard. */
   def ngramJaccardPairs(
       df: DataFrame,
       k: Int = 3,
@@ -76,7 +80,11 @@ object Dedup {
       if (maxDf == Int.MaxValue) inv0
       else {
         val dfCounts = inv0.groupBy(col("sh")).agg(count(lit(1)).as("_df")).where(col("_df") <= maxDf)
-        inv0.join(dfCounts.select(col("sh")), Seq("sh"))
+        val kept = inv0.join(dfCounts.select(col("sh")), Seq("sh"))
+        // surviving-set sizes: the Jaccard denominator must count the same
+        // universe as the intersection (one narrow count over the kept index)
+        kept.drop("_n").withColumn("_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("_id"))))
       }
     val a = inv.select(col("_id").as("id_a"), col("_n").as("na"), col("sh"))
     val b = inv.select(col("_id").as("id_b"), col("_n").as("nb"), col("sh"))
@@ -172,14 +180,24 @@ object Dedup {
     * portable codegen'd bucket per vector ([[graft.ann.Similarity.lshBucket]],
     * `bands × rowsPerBand` planes), candidates only from same-band-bucket
     * collisions (narrow (id,id) pairs, like [[minhashLshPairs]]), exact
-    * cosine re-rank on the candidates. NO cross join ever materializes —
-    * cost ∝ bucket collisions, the only shape that survives 100 TB. Recall
-    * < 1 by construction (pairs whose buckets never collide in any band are
-    * missed); raise `bands` for recall, `rowsPerBand` for precision.
+    * cosine re-rank on the candidates. NO cross join ever materializes.
+    * Recall < 1 by construction (pairs whose buckets never collide in any
+    * band are missed); raise `bands` for recall, `rowsPerBand` for precision.
+    *
+    * SIZING LAW: a band has 2^rowsPerBand sub-buckets, and the candidate
+    * join emits Θ(Σ bucket²) rows per band — so rowsPerBand MUST grow with
+    * the corpus (2^rowsPerBand ≳ n / tolerable-bucket-size) or the join
+    * degenerates toward all-pairs. The default 8 × 7 (a 56-plane signature —
+    * the 62-bit bucket packing bounds bands × rowsPerBand ≤ 62 — with 128
+    * sub-buckets per band) targets real near-dup thresholds (cosine ≥ 0.9 ⇒
+    * per-plane collision 0.856 ⇒ ~96% recall over 8 bands); small/test
+    * corpora probing LOW thresholds want wider buckets (e.g. rowsPerBand 2,
+    * as the driver query pins explicitly).
     *
     * `exact = true` keeps the all-pairs brute force (O(n²·d) — test scale /
-    * small inputs only). Norms are computed ONCE per vector on both paths
-    * (one dot per pair instead of three; identical IEEE value). */
+    * small inputs only; 3× faster than banding at 5k vectors, impossible at
+    * 10⁹). Norms are computed ONCE per vector on both paths (one dot per
+    * pair instead of three; identical IEEE value). */
   def embeddingNearDupPairs(
       emb: DataFrame,
       threshold: Double,
@@ -187,7 +205,7 @@ object Dedup {
       vec: String = "embedding",
       exact: Boolean = false,
       bands: Int = 8,
-      rowsPerBand: Int = 2
+      rowsPerBand: Int = 7
   ): DataFrame = {
     val a = emb.select(col(id).as("id_a"), col(vec).as("va"),
       graft.ann.Similarity.norm(col(vec)).as("_na"))

@@ -44,8 +44,11 @@ object Stats {
     *
     * Groups whose values are all null vanish from the long form — the
     * caller's pivot re-materializes them as nulls, matching the
-    * null-returning aggregate. Output columns: keys…, `_feature`,
-    * `_p0`…`_p{k}`, `_min`, `_max`, `_mean`, `_std`. */
+    * null-returning aggregate. Min/max/mean/std are NOT computed here:
+    * streaming hash-agg moments don't need the rank sort, so callers take
+    * them directly off the wide frame (one fewer aggregate buffer per group
+    * on the sort-heavy path). Output columns: keys…, `_feature`,
+    * `_p0`…`_p{k}`. */
   def describeLong(
       df: DataFrame,
       keys: Seq[String],
@@ -74,22 +77,14 @@ object Stats {
         max(when(col("_rn") === ceil(col(s"_pos_$i")) + 1, col("_value"))).as(s"_hi_$i")
       )
     }
-    val momentAggs = Seq(
-      min(col("_value")).as("_min"),
-      max(col("_value")).as("_max"),
-      avg(col("_value")).as("_mean"),
-      stddev(col("_value")).as("_std")
-    )
-    val aggs = pctAggs ++ momentAggs
-    val agged = withPos.groupBy(part: _*).agg(aggs.head, aggs.tail: _*)
+    val agged = withPos.groupBy(part: _*).agg(pctAggs.head, pctAggs.tail: _*)
     val pctCols = pcts.indices.map { i =>
       val pos = col(s"_posv_$i")
       when(ceil(pos) === floor(pos), col(s"_lo_$i"))
         .otherwise((ceil(pos) - pos) * col(s"_lo_$i") + (pos - floor(pos)) * col(s"_hi_$i"))
         .as(s"_p$i")
     }
-    agged.select(
-      part ++ pctCols ++ Seq(col("_min"), col("_max"), col("_mean"), col("_std")): _*)
+    agged.select(part ++ pctCols: _*)
   }
 
   /** G2+G3 fused — one row per (entity[, segment]) with the reference's 72
@@ -114,12 +109,20 @@ object Stats {
         avg(col(f)).as(s"${f}_mean"), stddev(col(f)).as(s"${f}_std"))
     }
     val moments = base.groupBy(keys.map(col): _*).agg(momentExprs.head, momentExprs.tail: _*)
+    val pctNames = Percentiles.map(p => s"${(p * 100).toInt}%").toSet
+    // right join on NULL-SAFE key equality: a null entity key is one group
+    // (like the groupBy and the reference), and an entity whose features are
+    // ALL null never reaches the long form but still emits its stats row
+    // (explicit aliases: both sides share the base lineage → self-join rule)
+    val cond = keys.map(k => col(s"_pv.`$k`") <=> col(s"_mo.`$k`")).reduce(_ && _)
     val ordered = Kinematic.AllFeatures.flatMap { f =>
-      StatNames.map(st => col(s"${f}_$st").as(s"${st}_$f"))
+      StatNames.map { st =>
+        val side = if (pctNames(st)) "_pv" else "_mo"
+        col(s"$side.`${f}_$st`").as(s"${st}_$f")
+      }
     }
-    // right join: an entity whose features are ALL null never reaches the
-    // long form, but the reference still emits its (all-null-stats) row
-    pivoted.join(moments, keys, "right").select(keys.map(col) ++ ordered: _*)
+    pivoted.as("_pv").join(moments.as("_mo"), cond, "right")
+      .select(keys.map(k => col(s"_mo.`$k`").as(k)) ++ ordered: _*)
   }
 
   /** G2 long form — (entity[, seg], feature, stat, value); derived from the

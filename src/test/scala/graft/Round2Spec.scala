@@ -20,9 +20,25 @@ class LshBucketParitySpec extends SparkSpec {
     }
   }
 
+  test("NaN projections set the sign bit like SQL NaN-greatest ordering (kernel == HOF)") {
+    import spark.implicits._
+    // a NaN element poisons every plane sum to NaN; Spark SQL and DuckDB
+    // order NaN above 0.0, so all plane bits must be 1 — in kernel AND HOF
+    val v = Seq(
+      (1L, Array(Float.NaN, 1.0f, -2.0f)),
+      (2L, Array(0.5f, -0.25f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val got = v.select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), 6).as("k"),
+        Similarity.lshBucketHof(col("embedding"), 6).as("h"))
+      .orderBy("vec_id").collect()
+    assert(got(0).getLong(1) == 63L && got(0).getLong(2) == 63L, s"NaN row: ${got(0)}")
+    assert(got(1).getLong(1) == got(1).getLong(2))
+  }
+
   test("banded near-dup is a subset of brute force with full-pair precision") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val approx = Dedup.embeddingNearDupPairs(e, threshold = 0.2)
+    val approx = Dedup.embeddingNearDupPairs(e, threshold = 0.2, bands = 8, rowsPerBand = 2)
     val brute = Dedup.embeddingNearDupPairs(e, threshold = 0.2, exact = true)
     // every banded pair is a true pair (exact re-rank ⇒ no false positives)
     assert(approx.exceptAll(brute).count() == 0)
@@ -53,6 +69,21 @@ class JaccardCapSpec extends SparkSpec {
     assert(hot == 1, s"expected exactly the boilerplate shingle above the cap, got $hot")
     // default cap is far above any df here — default run == exact run
     assert(Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.01).count() == 6)
+  }
+}
+
+class NullKeyStatsSpec extends SparkSpec {
+
+  test("a null entity key keeps its percentile stats (null-safe recombination)") {
+    import graft.stats.Stats
+    val withNull = fixture.unionByName(
+      fixture.where(col("traj_id") === "3").withColumn("traj_id", lit(null).cast("string")))
+    val wide = Stats.kinematicStatsWide(withNull, S)
+    assert(wide.count() == 3)
+    val nullRow = wide.where(col("traj_id").isNull).first()
+    // the null-keyed group has 3 points → Distance has 2 values → a real median
+    assert(!nullRow.isNullAt(nullRow.fieldIndex("50%_Distance")),
+      "null-keyed entity lost its percentiles in the pivot∪moments join")
   }
 }
 
