@@ -114,6 +114,15 @@ object DocQueries {
     "q_dedup_lsh_pairs" -> ((sp, dir) =>
       Dedup.minhashLshPairs(docs(sp, dir), k = 3, numHashes = 16, bands = 4, estThreshold = 0.25)),
     "q_dedup_simhash" -> ((sp, dir) => Dedup.simhash(docs(sp, dir))),
+    // SimHash pair search: pigeonhole bands ⇒ recall 1.0 at the budget
+    "q_dedup_simhash_pairs" -> ((sp, dir) => Dedup.simhashHammingPairs(docs(sp, dir), maxHamming = 6)),
+    // duplicate-cluster resolution over the LSH candidate pairs (connected
+    // components, min-id canonical representative)
+    "q_dedup_clusters" -> ((sp, dir) => {
+      val d = docs(sp, dir)
+      Dedup.dupClusters(
+        Dedup.minhashLshPairs(d, k = 3, numHashes = 16, bands = 4, estThreshold = 0.25), d)
+    }),
 
     // ---- similarity ----
     "q_sim_topk" -> ((sp, dir) => {
@@ -393,6 +402,55 @@ object DocQueries {
            |  FROM scored
            |)
            |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
+      "q_dedup_simhash_pairs" -> {
+        // pigeonhole bands for maxHamming = 6: 7 bands over 62 bits
+        val maxHamming = 6
+        val bands = maxHamming + 1
+        val width = (62 + bands - 1) / bands
+        val bandExpr = (0 until bands).map { b =>
+          val bits = math.min(width, 62 - b * width)
+          s"WHEN b = $b THEN (simhash >> ${b * width}) & ${(1L << bits) - 1}"
+        }.mkString("CASE ", " ", " END")
+        s"""WITH tok AS (SELECT doc_id, unnest($sqlWordHashes) AS h1 FROM documents),
+           |wide AS (SELECT doc_id, h1 * 2147483648 + ((h1 * 506952114) % $P + 97531) % $P AS h FROM tok),
+           |bits AS (
+           |  SELECT doc_id, b, CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS vote
+           |  FROM wide, unnest(generate_series(0, 61)) AS t(b)
+           |),
+           |votes AS (SELECT doc_id, b, sum(vote) AS s FROM bits GROUP BY 1, 2),
+           |sim AS (SELECT doc_id, cast(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+           |        FROM votes GROUP BY doc_id),
+           |banded AS (SELECT doc_id, b, $bandExpr AS bb FROM sim, unnest(generate_series(0, ${bands - 1})) AS t(b)),
+           |cand AS (
+           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |  FROM banded l JOIN banded r ON l.b = r.b AND l.bb = r.bb AND l.doc_id < r.doc_id
+           |)
+           |SELECT id_a, id_b, cast(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+           |FROM cand JOIN sim sa ON sa.doc_id = cand.id_a JOIN sim sb ON sb.doc_id = cand.id_b
+           |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $maxHamming""".stripMargin
+      },
+      "q_dedup_clusters" ->
+        s"""WITH RECURSIVE t AS (SELECT doc_id, $sqlWordHashes AS wh FROM documents),
+           |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+           |sigs AS (SELECT doc_id, [${sqlMinhashAt("i")} for i in generate_series(0, 15)] AS sig FROM s),
+           |lshp AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+           |  WHERE (a.sig[1:4] = b.sig[1:4] OR a.sig[5:8] = b.sig[5:8]
+           |      OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16])
+           |    AND len(list_filter([a.sig[i] = b.sig[i] for i in generate_series(1, 16)], x -> x))::DOUBLE / 16 >= 0.25
+           |),
+           |und AS (SELECT id_a AS src, id_b AS dst FROM lshp UNION SELECT id_b AS src, id_a AS dst FROM lshp),
+           |nodes AS (SELECT DISTINCT src AS node FROM und),
+           |cc AS (
+           |  SELECT node, node AS label FROM nodes
+           |  UNION
+           |  SELECT u.dst AS node, cc.label FROM cc JOIN und u ON u.src = cc.node WHERE cc.label < u.dst
+           |),
+           |lab AS (SELECT node, min(label) AS label FROM cc GROUP BY node)
+           |SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id,
+           |       coalesce(l.label, d.doc_id) = d.doc_id AS keep
+           |FROM documents d LEFT JOIN lab l ON l.node = d.doc_id""".stripMargin,
       "q_sim_ivf_topk" -> {
         // op-for-op mirror of Similarity.ivfTopK(nCentroids=16, nProbe=4,
         // k=5, 2 Lloyd rounds): affine-ranked seeds, argmin assignment on

@@ -174,6 +174,84 @@ object Dedup {
       .drop("_n")
   }
 
+  /** SimHash near-duplicate pairs: docs whose 62-bit fingerprints differ in
+    * at most `maxHamming` bits. Candidate generation is the PIGEONHOLE band
+    * trick — split the fingerprint into `maxHamming + 1` bit-bands; any pair
+    * within the hamming budget matches at least one band EXACTLY — so the
+    * join is a narrow equality join on (band, bits), never all-pairs, and
+    * recall is 1.0 (unlike probabilistic LSH). Exact `bit_count(xor)`
+    * re-rank on the candidates. Output: (id_a, id_b, hamming), id_a < id_b. */
+  def simhashHammingPairs(
+      df: DataFrame,
+      maxHamming: Int = 3,
+      id: String = "doc_id",
+      text: String = "text"
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < TextHash.simhashBits, "maxHamming out of range")
+    val bands = maxHamming + 1
+    val width = (TextHash.simhashBits + bands - 1) / bands
+    val sh = simhash(df, id, text)
+    val bandBuckets = array((0 until bands).map { b =>
+      val bits = math.min(width, TextHash.simhashBits - b * width)
+      shiftright(col("simhash"), b * width).bitwiseAND((1L << bits) - 1)
+    }: _*)
+    val banded = sh.select(col(id).as("_id"), posexplode(bandBuckets).as(Seq("_band", "_bb")))
+    val cand = banded.select(col("_id").as("id_a"), col("_band"), col("_bb"))
+      .join(banded.select(col("_id").as("id_b"), col("_band"), col("_bb")), Seq("_band", "_bb"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col(id).as("id_a"), col("simhash").as("_sa")), Seq("id_a"))
+      .join(sh.select(col(id).as("id_b"), col("simhash").as("_sb")), Seq("id_b"))
+      .withColumn("hamming", bit_count(col("_sa").bitwiseXOR(col("_sb"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Duplicate-cluster resolution: connected components over candidate dup
+    * pairs, labels = the component's minimum id, `keep` = the canonical
+    * representative. Iterative min-label propagation (one narrow shuffle per
+    * round, converges in O(component diameter) rounds — near-dup clusters
+    * are shallow; `maxIters` is a stall guard, convergence is REQUIRED so
+    * the result is the true fixpoint the oracle's transitive closure
+    * computes). `all` supplies the id universe so singletons keep
+    * themselves. Output: (id, cluster_id, keep). */
+  def dupClusters(
+      pairs: DataFrame,
+      all: DataFrame,
+      id: String = "doc_id",
+      maxIters: Int = 50
+  ): DataFrame = {
+    val und = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val prop = und.join(labels, und("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.select(col("node"), col("label")).unionByName(prop)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("label", "_old"), Seq("node"))
+        .where(col("label") =!= col("_old")).isEmpty
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    require(converged, s"dupClusters did not converge in $maxIters rounds")
+    und.unpersist()
+    all.select(col(id))
+      .join(labels.withColumnRenamed("node", id), Seq(id), "left")
+      .select(
+        col(id),
+        coalesce(col("label"), col(id)).as("cluster_id"),
+        (coalesce(col("label"), col(id)) === col(id)).as("keep"))
+  }
+
   /** Embedding cosine near-duplicate pairs above a threshold.
     *
     * Default path (`exact = false`): banded random-hyperplane LSH — one

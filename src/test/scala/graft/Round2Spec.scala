@@ -47,6 +47,44 @@ class LshBucketParitySpec extends SparkSpec {
   }
 }
 
+class SimhashPairsSpec extends SparkSpec {
+
+  test("pigeonhole banding finds every pair within the hamming budget (recall 1.0)") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val banded = Dedup.simhashHammingPairs(docs, maxHamming = 8)
+    // brute-force reference over all simhash pairs
+    val sh = Dedup.simhash(docs)
+    val a = sh.select(col("doc_id").as("id_a"), col("simhash").as("sa"))
+    val b = sh.select(col("doc_id").as("id_b"), col("simhash").as("sb"))
+    val brute = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .where(col("hamming") <= 8)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+    assert(banded.exceptAll(brute).count() == 0 && brute.exceptAll(banded).count() == 0,
+      "banded simhash pairs must equal brute force exactly (pigeonhole guarantee)")
+    // identical docs → hamming 0
+    val dup = Seq((1L, "same words here exactly"), (2L, "same words here exactly")).toDF("doc_id", "text")
+    assert(Dedup.simhashHammingPairs(dup, maxHamming = 0).select("hamming").first().getInt(0) == 0)
+  }
+}
+
+class DupClustersSpec extends SparkSpec {
+
+  test("transitive pairs collapse to one cluster keyed by the min id; singletons keep themselves") {
+    import spark.implicits._
+    val pairs = Seq((2L, 7L), (7L, 9L), (11L, 12L)).toDF("id_a", "id_b")
+    val all = (1L to 13L).toDF("doc_id")
+    val out = Dedup.dupClusters(pairs, all).orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect()
+    val m = out.map(r => r._1 -> r._2).toMap
+    assert(m(2L) == 2L && m(7L) == 2L && m(9L) == 2L, "chain 2-7-9 must share cluster 2")
+    assert(m(11L) == 11L && m(12L) == 11L)
+    assert(m(1L) == 1L && m(13L) == 13L, "singletons label themselves")
+    assert(out.count(_._3) == 13 - 3, "one keeper per cluster")
+  }
+}
+
 class JaccardCapSpec extends SparkSpec {
 
   test("a hot shingle is dropped at maxDf and surfaces in the audit view") {
