@@ -457,12 +457,12 @@ object DocQueries {
         // d = v·v − 2 v·c + c·c, ascending-id member folds for the means —
         // every arithmetic step bitwise-identical to the Spark plan
         val dist = s"${sqlDot("vd", "vd")} - 2.0 * ${sqlDot("vd", "c")} + ${sqlDot("c", "c")}"
-        def assign(cents: String, out: String) =
+        def assign(src: String, cents: String, out: String) =
           s"""$out AS (
              |  SELECT vec_id, vd, centroid_id FROM (
              |    SELECT e2.vec_id, e2.vd, ct.centroid_id,
              |      row_number() OVER (PARTITION BY e2.vec_id ORDER BY $dist, ct.centroid_id) AS rn
-             |    FROM e e2 CROSS JOIN $cents ct
+             |    FROM $src e2 CROSS JOIN $cents ct
              |  ) WHERE rn = 1
              |)""".stripMargin
         def mean(src: String, out: String) =
@@ -476,17 +476,24 @@ object DocQueries {
              |)""".stripMargin
         val qdist = s"${sqlDot("qd", "qd")} - 2.0 * ${sqlDot("qd", "c")} + ${sqlDot("c", "c")}"
         s"""WITH e AS (SELECT vec_id, embedding AS v, list_transform(embedding, x -> x::DOUBLE) AS vd FROM embeddings),
+           |etr AS (
+           |  -- Lloyd training subsample (trainCap = 65536, the Spark default;
+           |  -- inactive at test scale but mirrored so parity survives growth)
+           |  SELECT vec_id, v, vd FROM e
+           |  WINDOW w AS (ORDER BY ((vec_id % $P) * 506952114 % $P + 40503) % $P, vec_id)
+           |  QUALIFY row_number() OVER w <= 65536
+           |),
            |seeds AS (
            |  SELECT row_number() OVER w - 1 AS centroid_id, vd AS c
-           |  FROM e
+           |  FROM etr
            |  WINDOW w AS (ORDER BY ((vec_id % $P) * 506952114 % $P + 40503) % $P, vec_id)
            |  QUALIFY row_number() OVER w <= 16
            |),
-           |${assign("seeds", "a1")},
+           |${assign("etr", "seeds", "a1")},
            |${mean("a1", "m1")},
-           |${assign("m1", "a2")},
+           |${assign("etr", "m1", "a2")},
            |${mean("a2", "m2")},
-           |${assign("m2", "af")},
+           |${assign("e", "m2", "af")},
            |lists AS (
            |  SELECT af.vec_id, af.centroid_id, e3.v AS cv
            |  FROM af JOIN e e3 USING (vec_id)

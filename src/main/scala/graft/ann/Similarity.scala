@@ -150,11 +150,14 @@ object Similarity {
     val P = graft.functions.TextHash.P
     val seedRank = graft.functions.TextHash.affine(pmod(col(corpusId).cast("long"), lit(P)), 0)
     require(trainCap >= nCentroids, "trainCap must cover the seed count")
+    // ONE TakeOrdered over the corpus, cached: the seeds, every Lloyd
+    // assignment, and the convergence loop all reread this ≤trainCap-row set
     val train = corpus
       .select(col(corpusId), col(vec))
       .withColumn("_r", seedRank)
       .orderBy(col("_r"), col(corpusId))
       .limit(trainCap)
+      .cache()
     var cents = train
       .select(col(corpusId), asDouble.as("centroid"), col("_r"))
       .orderBy(col("_r"), col(corpusId))
@@ -178,7 +181,12 @@ object Similarity {
         .agg(sums.as("_sums"), count(lit(1)).as("_n"))
         .select(col("centroid_id"), transform(col("_sums"), s => s / col("_n")).as("centroid"))
     }
-    cents
+    // materialize the ≤nCentroids rows to a local relation so the training
+    // cache can be released and downstream plans carry no Lloyd lineage
+    val local = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+    train.unpersist()
+    local
   }
 
   /** Nearest centroid per corpus row (broadcast argmin, deterministic
@@ -208,11 +216,9 @@ object Similarity {
       corpusId: String = "vec_id",
       vec: String = "embedding"
   ): DataFrame = {
-    // centroids are nCentroids rows — materialize ONCE to a local relation
-    // (broadcast-sized, no lineage to re-execute, nothing left cached)
-    val centsBig = ivfCentroids(corpus, nCentroids, lloydIters = 2, corpusId, vec)
-    val cents = corpus.sparkSession.createDataFrame(
-      java.util.Arrays.asList(centsBig.collect(): _*), centsBig.schema)
+    // centroids arrive as a local relation (ivfCentroids materializes its
+    // ≤nCentroids rows) — broadcast-sized, no lineage to re-execute
+    val cents = ivfCentroids(corpus, nCentroids, lloydIters = 2, corpusId, vec)
     val lists = assignToCentroids(corpus, cents, corpusId, vec)
       .join(corpus.select(col(corpusId), col(vec).as("_cv")), Seq(corpusId))
       .select(col(corpusId), col("centroid_id"), col("_cv"), norm(col("_cv")).as("_cn"))

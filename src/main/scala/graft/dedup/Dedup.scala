@@ -108,6 +108,21 @@ object Dedup {
   ): DataFrame =
     shingles(df, k, id, text).select(col(id), TextHash.minhash(col("shingles"), numHashes).as("sig"))
 
+  /** Shared banded-LSH candidate generator: explode each row's per-band
+    * bucket array, equality-self-join on (band, bucket), keep NARROW ordered
+    * (id_a, id_b) pairs (the distinct dedups 2 ids, not wide payloads — the
+    * wide variant measured 10× slower). Every banded dedup family
+    * (MinHash bands, SimHash pigeonhole bands, hyperplane-LSH bands) funnels
+    * through here so sizing/skew fixes land once. */
+  private def bandedCandidates(df: DataFrame, idCol: Column, bandBuckets: Column): DataFrame = {
+    val banded = df.select(idCol.as("_id"), posexplode(bandBuckets).as(Seq("_band", "_bb")))
+    banded.select(col("_id").as("id_a"), col("_band"), col("_bb"))
+      .join(banded.select(col("_id").as("id_b"), col("_band"), col("_bb")), Seq("_band", "_bb"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
   /** MinHash-LSH candidate pairs: split the signature into `bands` bands of
     * numHashes/bands rows; docs sharing any band bucket become candidates;
     * similarity estimate = fraction of matching signature positions.
@@ -125,22 +140,8 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sigs = minhashSignatures(df, k, numHashes, id, text).cache()
-    // Candidates as NARROW (id, id) pairs: the distinct dedups 2 longs, not
-    // 2×16-long signature arrays — the wide variant was 10× slower.
-    val banded = sigs.select(
-      col(id).as("_id"),
-      posexplode(
-        transform(sequence(lit(0), lit(bands - 1)), b => slice(col("sig"), b * r + 1, lit(r)))
-      ).as(Seq("band", "bucket"))
-    )
-    val a = banded.select(col("_id").as("id_a"), col("band"), col("bucket"))
-    val bdf = banded.select(col("_id").as("id_b"), col("band"), col("bucket"))
-    val cand = a
-      .join(bdf, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    cand
+    val bandBuckets = transform(sequence(lit(0), lit(bands - 1)), b => slice(col("sig"), b * r + 1, lit(r)))
+    bandedCandidates(sigs, col(id), bandBuckets)
       .join(sigs.select(col(id).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col(id).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn(
@@ -181,27 +182,32 @@ object Dedup {
     * join is a narrow equality join on (band, bits), never all-pairs, and
     * recall is 1.0 (unlike probabilistic LSH). Exact `bit_count(xor)`
     * re-rank on the candidates. Output: (id_a, id_b, hamming), id_a < id_b. */
+  /** Bit offsets/widths distributing `totalBits` over `bands` NON-EMPTY
+    * bands (first `totalBits % bands` bands get the extra bit) — a uniform
+    * ceil width would give trailing bands zero bits past ~bands/2, which
+    * collapses every row into one bucket and degenerates the candidate join
+    * to all-pairs. */
+  private[dedup] def bandLayout(totalBits: Int, bands: Int): Seq[(Int, Int)] = {
+    require(bands >= 1 && bands <= totalBits, s"need 1..$totalBits bands, got $bands")
+    val base = totalBits / bands
+    val extra = totalBits % bands
+    val widths = Seq.tabulate(bands)(b => if (b < extra) base + 1 else base)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
   def simhashHammingPairs(
       df: DataFrame,
       maxHamming: Int = 3,
       id: String = "doc_id",
       text: String = "text"
   ): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < TextHash.simhashBits, "maxHamming out of range")
+    require(maxHamming >= 0, "maxHamming must be non-negative")
     val bands = maxHamming + 1
-    val width = (TextHash.simhashBits + bands - 1) / bands
-    val sh = simhash(df, id, text)
-    val bandBuckets = array((0 until bands).map { b =>
-      val bits = math.min(width, TextHash.simhashBits - b * width)
-      shiftright(col("simhash"), b * width).bitwiseAND((1L << bits) - 1)
+    val sh = simhash(df, id, text).cache()
+    val bandBuckets = array(bandLayout(TextHash.simhashBits, bands).map { case (off, bits) =>
+      shiftright(col("simhash"), off).bitwiseAND((1L << bits) - 1)
     }: _*)
-    val banded = sh.select(col(id).as("_id"), posexplode(bandBuckets).as(Seq("_band", "_bb")))
-    val cand = banded.select(col("_id").as("id_a"), col("_band"), col("_bb"))
-      .join(banded.select(col("_id").as("id_b"), col("_band"), col("_bb")), Seq("_band", "_bb"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    cand
+    bandedCandidates(sh, col(id), bandBuckets)
       .join(sh.select(col(id).as("id_a"), col("simhash").as("_sa")), Seq("id_a"))
       .join(sh.select(col(id).as("id_b"), col("simhash").as("_sb")), Seq("id_b"))
       .withColumn("hamming", bit_count(col("_sa").bitwiseXOR(col("_sb"))))
@@ -216,7 +222,9 @@ object Dedup {
     * are shallow; `maxIters` is a stall guard, convergence is REQUIRED so
     * the result is the true fixpoint the oracle's transitive closure
     * computes). `all` supplies the id universe so singletons keep
-    * themselves. Output: (id, cluster_id, keep). */
+    * themselves. The returned frame's lineage holds the final label cache
+    * (evictable; persist or write the result if you need it released
+    * eagerly). Output: (id, cluster_id, keep). */
   def dupClusters(
       pairs: DataFrame,
       all: DataFrame,
@@ -236,8 +244,13 @@ object Dedup {
       val next = labels.select(col("node"), col("label")).unionByName(prop)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .cache()
-      converged = next.join(labels.withColumnRenamed("label", "_old"), Seq("node"))
-        .where(col("label") =!= col("_old")).isEmpty
+      // count() (not isEmpty) so `next` materializes FULLY into its cache
+      // before the parent's cache is dropped — a short-circuiting probe can
+      // leave partitions uncached whose lineage then re-reads an unpersisted
+      // parent (the classic iterative-caching hazard)
+      val changed = next.join(labels.withColumnRenamed("label", "_old"), Seq("node"))
+        .where(col("label") =!= col("_old")).count()
+      converged = changed == 0
       labels.unpersist()
       labels = next
       it += 1
@@ -298,13 +311,7 @@ object Dedup {
         // band b's sub-bucket = bits [b·r, (b+1)·r) of the single bucket
         val bandBuckets = array((0 until bands).map(bd =>
           shiftright(bucket, bd * rowsPerBand).bitwiseAND(mask)): _*)
-        val banded = emb.select(col(id).as("_id"),
-          posexplode(bandBuckets).as(Seq("_band", "_bb")))
-        banded.select(col("_id").as("id_a"), col("_band"), col("_bb"))
-          .join(banded.select(col("_id").as("id_b"), col("_band"), col("_bb")), Seq("_band", "_bb"))
-          .where(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"))
-          .distinct()
+        bandedCandidates(emb, col(id), bandBuckets)
           .join(a, Seq("id_a"))
           .join(b, Seq("id_b"))
       }
