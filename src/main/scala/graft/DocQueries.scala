@@ -115,7 +115,8 @@ object DocQueries {
       Dedup.minhashLshPairs(docs(sp, dir), k = 3, numHashes = 16, bands = 4, estThreshold = 0.25)),
     "q_dedup_simhash" -> ((sp, dir) => Dedup.simhash(docs(sp, dir))),
     // SimHash pair search: pigeonhole bands ⇒ recall 1.0 at the budget
-    "q_dedup_simhash_pairs" -> ((sp, dir) => Dedup.simhashHammingPairs(docs(sp, dir), maxHamming = 6)),
+    // (h = 3, the library default — see the budget-economics scaladoc)
+    "q_dedup_simhash_pairs" -> ((sp, dir) => Dedup.simhashHammingPairs(docs(sp, dir), maxHamming = 3)),
     // duplicate-cluster resolution over the LSH candidate pairs (connected
     // components, min-id canonical representative)
     "q_dedup_clusters" -> ((sp, dir) => {
@@ -403,13 +404,13 @@ object DocQueries {
            |)
            |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
       "q_dedup_simhash_pairs" -> {
-        // pigeonhole bands for maxHamming = 6: 7 bands over 62 bits
-        val maxHamming = 6
+        // pigeonhole bands over 62 bits — generated from the SAME
+        // Dedup.bandLayout the Spark operator uses, so offsets/widths can
+        // never drift between the engines
+        val maxHamming = 3
         val bands = maxHamming + 1
-        val width = (62 + bands - 1) / bands
-        val bandExpr = (0 until bands).map { b =>
-          val bits = math.min(width, 62 - b * width)
-          s"WHEN b = $b THEN (simhash >> ${b * width}) & ${(1L << bits) - 1}"
+        val bandExpr = Dedup.bandLayout(62, bands).zipWithIndex.map { case ((off, bits), b) =>
+          s"WHEN b = $b THEN (simhash >> $off) & ${(1L << bits) - 1}"
         }.mkString("CASE ", " ", " END")
         s"""WITH tok AS (SELECT doc_id, unnest($sqlWordHashes) AS h1 FROM documents),
            |wide AS (SELECT doc_id, h1 * 2147483648 + ((h1 * 506952114) % $P + 97531) % $P AS h FROM tok),

@@ -130,6 +130,14 @@ object Explain {
     check("neardup: no CartesianProduct")(!nearDupPlan.contains("CartesianProduct"))
     check("neardup: no BroadcastNestedLoopJoin")(!nearDupPlan.contains("BroadcastNestedLoop"))
 
+    // --- simhash pair search: pigeonhole bands — no all-pairs shapes ---
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val shp = graft.dedup.Dedup.simhashHammingPairs(docs, maxHamming = 3)
+    val shpPlan = shp.queryExecution.executedPlan.toString
+    println("=== simhash hamming pairs (banded equality join) ===")
+    check("simhash pairs: no CartesianProduct")(!shpPlan.contains("CartesianProduct"))
+    check("simhash pairs: no BroadcastNestedLoopJoin")(!shpPlan.contains("BroadcastNestedLoop"))
+
     // --- visited_poi: inline predicate — single scan, zero joins/shuffles ---
     val sur = t.where(col("traj_id") === "3")
       .select(col("lat"), col("lon"), (col("lat") * 1000.0).as("dist_poi"))

@@ -179,15 +179,21 @@ object Dedup {
     * at most `maxHamming` bits. Candidate generation is the PIGEONHOLE band
     * trick — split the fingerprint into `maxHamming + 1` bit-bands; any pair
     * within the hamming budget matches at least one band EXACTLY — so the
-    * join is a narrow equality join on (band, bits), never all-pairs, and
-    * recall is 1.0 (unlike probabilistic LSH). Exact `bit_count(xor)`
-    * re-rank on the candidates. Output: (id_a, id_b, hamming), id_a < id_b. */
+    * join is a narrow equality join on (band, bits) with recall 1.0 (unlike
+    * probabilistic LSH). Exact `bit_count(xor)` re-rank on the candidates.
+    *
+    * BUDGET ECONOMICS: on a homogeneous corpus every simhash bit is biased
+    * the same way, so band entropy comes from band WIDTH — 62/(h+1) bits.
+    * Measured on driver docs (5k): candidates = 4.7% of all pairs at h=2,
+    * 22% at h=3, ~100% at h=6. Keep the budget small (the Manku-et-al
+    * regime, h ≤ 3) or the equality join degenerates toward all-pairs.
+    * Output: (id_a, id_b, hamming), id_a < id_b. */
   /** Bit offsets/widths distributing `totalBits` over `bands` NON-EMPTY
     * bands (first `totalBits % bands` bands get the extra bit) — a uniform
     * ceil width would give trailing bands zero bits past ~bands/2, which
     * collapses every row into one bucket and degenerates the candidate join
     * to all-pairs. */
-  private[dedup] def bandLayout(totalBits: Int, bands: Int): Seq[(Int, Int)] = {
+  private[graft] def bandLayout(totalBits: Int, bands: Int): Seq[(Int, Int)] = {
     require(bands >= 1 && bands <= totalBits, s"need 1..$totalBits bands, got $bands")
     val base = totalBits / bands
     val extra = totalBits % bands
