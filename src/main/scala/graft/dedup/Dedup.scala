@@ -223,20 +223,58 @@ object Dedup {
 
   /** Duplicate-cluster resolution: connected components over candidate dup
     * pairs, labels = the component's minimum id, `keep` = the canonical
-    * representative. Iterative min-label propagation (one narrow shuffle per
-    * round, converges in O(component diameter) rounds — near-dup clusters
-    * are shallow; `maxIters` is a stall guard, convergence is REQUIRED so
-    * the result is the true fixpoint the oracle's transitive closure
-    * computes). `all` supplies the id universe so singletons keep
-    * themselves. The returned frame's lineage holds the final label cache
-    * (evictable; persist or write the result if you need it released
-    * eagerly). Output: (id, cluster_id, keep). */
+    * representative. `all` supplies the id universe so singletons keep
+    * themselves. Output: (id, cluster_id, keep).
+    *
+    * Two physical paths with the IDENTICAL fixpoint (DupClustersSpec
+    * asserts equality):
+    *   - pair sets ≤ `localLimit`: driver-side union-find then one
+    *     broadcast-join of the label table — near-dup candidate sets are
+    *     tiny relative to the corpus, and the iterative path's per-round
+    *     job overhead would dominate (9 s → ~1 s at sf0.1);
+    *   - larger sets: distributed min-label propagation (one narrow shuffle
+    *     per round, O(component diameter) rounds; `maxIters` is a stall
+    *     guard, convergence is REQUIRED so the result is the true fixpoint
+    *     the oracle's transitive closure computes). The returned frame's
+    *     lineage holds the final label cache (evictable). */
   def dupClusters(
       pairs: DataFrame,
       all: DataFrame,
       id: String = "doc_id",
-      maxIters: Int = 50
+      maxIters: Int = 50,
+      localLimit: Int = 1 << 20
   ): DataFrame = {
+    val longIds = pairs.schema("id_a").dataType == org.apache.spark.sql.types.LongType
+    val probe =
+      if (longIds) pairs.select(col("id_a"), col("id_b")).limit(localLimit + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (longIds && probe.length <= localLimit) {
+      // union-find with path halving; component label = min member id
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) {
+          val p = parent(r); parent(r) = parent.getOrElse(p, p); r = parent(r)
+        }
+        r
+      }
+      probe.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = (probe.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct)
+        .map(n => (n, find(n)))
+      val spark = all.sparkSession
+      import spark.implicits._
+      val labelDf = labels.toSeq.toDF(id, "label")
+      return all.select(col(id))
+        .join(broadcast(labelDf), Seq(id), "left")
+        .select(
+          col(id),
+          coalesce(col("label"), col(id)).as("cluster_id"),
+          (coalesce(col("label"), col(id)) === col(id)).as("keep"))
+    }
     val und = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()

@@ -75,13 +75,17 @@ class DupClustersSpec extends SparkSpec {
     import spark.implicits._
     val pairs = Seq((2L, 7L), (7L, 9L), (11L, 12L)).toDF("id_a", "id_b")
     val all = (1L to 13L).toDF("doc_id")
-    val out = Dedup.dupClusters(pairs, all).orderBy("doc_id")
-      .as[(Long, Long, Boolean)].collect()
-    val m = out.map(r => r._1 -> r._2).toMap
-    assert(m(2L) == 2L && m(7L) == 2L && m(9L) == 2L, "chain 2-7-9 must share cluster 2")
-    assert(m(11L) == 11L && m(12L) == 11L)
-    assert(m(1L) == 1L && m(13L) == 13L, "singletons label themselves")
-    assert(out.count(_._3) == 13 - 3, "one keeper per cluster")
+    // both physical paths: driver union-find (default) and the distributed
+    // min-label propagation (forced via localLimit = 0) — identical fixpoint
+    Seq(1 << 20, 0).foreach { limit =>
+      val out = Dedup.dupClusters(pairs, all, localLimit = limit).orderBy("doc_id")
+        .as[(Long, Long, Boolean)].collect()
+      val m = out.map(r => r._1 -> r._2).toMap
+      assert(m(2L) == 2L && m(7L) == 2L && m(9L) == 2L, s"chain 2-7-9 must share cluster 2 (limit=$limit)")
+      assert(m(11L) == 11L && m(12L) == 11L)
+      assert(m(1L) == 1L && m(13L) == 13L, "singletons label themselves")
+      assert(out.count(_._3) == 13 - 3, "one keeper per cluster")
+    }
   }
 }
 
