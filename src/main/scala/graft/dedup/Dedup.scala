@@ -221,22 +221,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** (id, label) table → the (id, cluster_id, keep) output contract, shared
+    * by both dupClusters paths so they cannot diverge. */
+  private def clusterOutput(all: DataFrame, id: String, labels: DataFrame): DataFrame =
+    all.select(col(id))
+      .join(labels, Seq(id), "left")
+      .select(
+        col(id),
+        coalesce(col("label"), col(id)).as("cluster_id"),
+        (coalesce(col("label"), col(id)) === col(id)).as("keep"))
+
   /** Duplicate-cluster resolution: connected components over candidate dup
     * pairs, labels = the component's minimum id, `keep` = the canonical
     * representative. `all` supplies the id universe so singletons keep
-    * themselves. Output: (id, cluster_id, keep).
+    * themselves; null-id pairs are ignored (they cannot cluster). Output:
+    * (id, cluster_id, keep).
     *
     * Two physical paths with the IDENTICAL fixpoint (DupClustersSpec
     * asserts equality):
-    *   - pair sets ≤ `localLimit`: driver-side union-find then one
-    *     broadcast-join of the label table — near-dup candidate sets are
-    *     tiny relative to the corpus, and the iterative path's per-round
-    *     job overhead would dominate (9 s → ~1 s at sf0.1);
-    *   - larger sets: distributed min-label propagation (one narrow shuffle
-    *     per round, O(component diameter) rounds; `maxIters` is a stall
-    *     guard, convergence is REQUIRED so the result is the true fixpoint
-    *     the oracle's transitive closure computes). The returned frame's
-    *     lineage holds the final label cache (evictable). */
+    *   - LONG ids and pair sets ≤ `localLimit` (pairs is cached so the
+    *     size probe and the collect run its pipeline once): driver-side
+    *     union-find then one broadcast-join of the label table — near-dup
+    *     candidate sets are tiny relative to the corpus, and the iterative
+    *     path's per-round job overhead would dominate (9 s → ~1.7 s at
+    *     sf0.1);
+    *   - larger sets or non-long ids: distributed min-label propagation
+    *     (one narrow shuffle per round, O(component diameter) rounds;
+    *     `maxIters` is a stall guard, convergence is REQUIRED so the result
+    *     is the true fixpoint the oracle's transitive closure computes).
+    *     The returned frame's lineage holds the final label cache
+    *     (evictable). */
   def dupClusters(
       pairs: DataFrame,
       all: DataFrame,
@@ -244,12 +258,17 @@ object Dedup {
       maxIters: Int = 50,
       localLimit: Int = 1 << 20
   ): DataFrame = {
-    val longIds = pairs.schema("id_a").dataType == org.apache.spark.sql.types.LongType
-    val probe =
-      if (longIds) pairs.select(col("id_a"), col("id_b")).limit(localLimit + 1).collect()
-      else Array.empty[org.apache.spark.sql.Row]
-    if (longIds && probe.length <= localLimit) {
+    import org.apache.spark.sql.types.LongType
+    val p2 = pairs.select(col("id_a"), col("id_b"))
+      .where(col("id_a").isNotNull && col("id_b").isNotNull)
+      .cache()
+    val longIds = Seq("id_a", "id_b").forall(c => p2.schema(c).dataType == LongType)
+    // size probe without hauling rows to the driver; guard the +1 overflow
+    val probeLimit = if (localLimit >= Int.MaxValue) Int.MaxValue else localLimit + 1
+    val small = longIds && p2.limit(probeLimit).count() <= localLimit
+    if (small) {
       // union-find with path halving; component label = min member id
+      val rows = p2.collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -258,55 +277,47 @@ object Dedup {
         }
         r
       }
-      probe.foreach { row =>
+      rows.foreach { row =>
         val (a, b) = (row.getLong(0), row.getLong(1))
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val labels = (probe.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct)
+      val labels = rows.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
         .map(n => (n, find(n)))
+      p2.unpersist()
       val spark = all.sparkSession
       import spark.implicits._
-      val labelDf = labels.toSeq.toDF(id, "label")
-      return all.select(col(id))
-        .join(broadcast(labelDf), Seq(id), "left")
-        .select(
-          col(id),
-          coalesce(col("label"), col(id)).as("cluster_id"),
-          (coalesce(col("label"), col(id)) === col(id)).as("keep"))
-    }
-    val und = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
-    var labels = und.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIters) {
-      val prop = und.join(labels, und("src") === labels("node"))
-        .select(col("dst").as("node"), col("label"))
-      val next = labels.select(col("node"), col("label")).unionByName(prop)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
+      clusterOutput(all, id, broadcast(labels.toSeq.toDF(id, "label")))
+    } else {
+      val und = p2.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(p2.select(col("id_b").as("src"), col("id_a").as("dst")))
         .cache()
-      // count() (not isEmpty) so `next` materializes FULLY into its cache
-      // before the parent's cache is dropped — a short-circuiting probe can
-      // leave partitions uncached whose lineage then re-reads an unpersisted
-      // parent (the classic iterative-caching hazard)
-      val changed = next.join(labels.withColumnRenamed("label", "_old"), Seq("node"))
-        .where(col("label") =!= col("_old")).count()
-      converged = changed == 0
-      labels.unpersist()
-      labels = next
-      it += 1
+      var labels = und.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")).cache()
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIters) {
+        val prop = und.join(labels, und("src") === labels("node"))
+          .select(col("dst").as("node"), col("label"))
+        val next = labels.select(col("node"), col("label")).unionByName(prop)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .cache()
+        // count() (not isEmpty) so `next` materializes FULLY into its cache
+        // before the parent's cache is dropped — a short-circuiting probe
+        // can leave partitions uncached whose lineage then re-reads an
+        // unpersisted parent (the classic iterative-caching hazard)
+        val changed = next.join(labels.withColumnRenamed("label", "_old"), Seq("node"))
+          .where(col("label") =!= col("_old")).count()
+        converged = changed == 0
+        labels.unpersist()
+        labels = next
+        it += 1
+      }
+      require(converged, s"dupClusters did not converge in $maxIters rounds")
+      und.unpersist()
+      p2.unpersist()
+      clusterOutput(all, id, labels.withColumnRenamed("node", id))
     }
-    require(converged, s"dupClusters did not converge in $maxIters rounds")
-    und.unpersist()
-    all.select(col(id))
-      .join(labels.withColumnRenamed("node", id), Seq(id), "left")
-      .select(
-        col(id),
-        coalesce(col("label"), col(id)).as("cluster_id"),
-        (coalesce(col("label"), col(id)) === col(id)).as("keep"))
   }
 
   /** Embedding cosine near-duplicate pairs above a threshold.
