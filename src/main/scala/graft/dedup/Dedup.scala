@@ -108,14 +108,37 @@ object Dedup {
   ): DataFrame =
     shingles(df, k, id, text).select(col(id), TextHash.minhash(col("shingles"), numHashes).as("sig"))
 
+  /** Hot-bucket valve for the banded joins: a (band, bucket) shared by f
+    * rows contributes f² candidate rows INSIDE ONE shuffle partition, so a
+    * single degenerate bucket (boilerplate text, biased fingerprint bits,
+    * an LSH region of embedding space) detonates the self-join at corpus
+    * scale — the same failure mode as an uncapped hot shingle, and like
+    * [[DefaultMaxDf]] the cap must be opt-OUT. 10⁵ bounds any bucket's
+    * contribution at 10¹⁰ narrow rows cluster-wide while binding on no
+    * sane bucketing (a bucket that large means the band is mis-sized — see
+    * the per-operator sizing laws). Pairs inside a dropped bucket are
+    * missed unless another band catches them (documented recall loss;
+    * [[bandedCandidates]]'s callers expose the knob). */
+  val DefaultMaxBucket: Int = 100000
+
   /** Shared banded-LSH candidate generator: explode each row's per-band
-    * bucket array, equality-self-join on (band, bucket), keep NARROW ordered
-    * (id_a, id_b) pairs (the distinct dedups 2 ids, not wide payloads — the
-    * wide variant measured 10× slower). Every banded dedup family
-    * (MinHash bands, SimHash pigeonhole bands, hyperplane-LSH bands) funnels
-    * through here so sizing/skew fixes land once. */
-  private def bandedCandidates(df: DataFrame, idCol: Column, bandBuckets: Column): DataFrame = {
-    val banded = df.select(idCol.as("_id"), posexplode(bandBuckets).as(Seq("_band", "_bb")))
+    * bucket array, drop (band, bucket)s hotter than `maxBucket`
+    * ([[DefaultMaxBucket]]), equality-self-join on the survivors, keep
+    * NARROW ordered (id_a, id_b) pairs (the distinct dedups 2 ids, not wide
+    * payloads — the wide variant measured 10× slower). Every banded dedup
+    * family (MinHash bands, SimHash pigeonhole bands, hyperplane-LSH bands)
+    * funnels through here so sizing/skew fixes land once. */
+  private def bandedCandidates(
+      df: DataFrame, idCol: Column, bandBuckets: Column,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val banded0 = df.select(idCol.as("_id"), posexplode(bandBuckets).as(Seq("_band", "_bb")))
+    val banded =
+      if (maxBucket == Int.MaxValue) banded0
+      else {
+        val sizes = banded0.groupBy(col("_band"), col("_bb"))
+          .agg(count(lit(1)).as("_sz")).where(col("_sz") <= maxBucket)
+        banded0.join(sizes.select(col("_band"), col("_bb")), Seq("_band", "_bb"))
+      }
     banded.select(col("_id").as("id_a"), col("_band"), col("_bb"))
       .join(banded.select(col("_id").as("id_b"), col("_band"), col("_bb")), Seq("_band", "_bb"))
       .where(col("id_a") < col("id_b"))
@@ -135,13 +158,14 @@ object Dedup {
       bands: Int = 4,
       estThreshold: Double = 0.5,
       id: String = "doc_id",
-      text: String = "text"
+      text: String = "text",
+      maxBucket: Int = DefaultMaxBucket
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sigs = minhashSignatures(df, k, numHashes, id, text).cache()
     val bandBuckets = transform(sequence(lit(0), lit(bands - 1)), b => slice(col("sig"), b * r + 1, lit(r)))
-    bandedCandidates(sigs, col(id), bandBuckets)
+    bandedCandidates(sigs, col(id), bandBuckets, maxBucket)
       .join(sigs.select(col(id).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col(id).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn(
@@ -205,7 +229,8 @@ object Dedup {
       df: DataFrame,
       maxHamming: Int = 3,
       id: String = "doc_id",
-      text: String = "text"
+      text: String = "text",
+      maxBucket: Int = DefaultMaxBucket
   ): DataFrame = {
     require(maxHamming >= 0, "maxHamming must be non-negative")
     val bands = maxHamming + 1
@@ -213,7 +238,7 @@ object Dedup {
     val bandBuckets = array(bandLayout(TextHash.simhashBits, bands).map { case (off, bits) =>
       shiftright(col("simhash"), off).bitwiseAND((1L << bits) - 1)
     }: _*)
-    bandedCandidates(sh, col(id), bandBuckets)
+    bandedCandidates(sh, col(id), bandBuckets, maxBucket)
       .join(sh.select(col(id).as("id_a"), col("simhash").as("_sa")), Seq("id_a"))
       .join(sh.select(col(id).as("id_b"), col("simhash").as("_sb")), Seq("id_b"))
       .withColumn("hamming", bit_count(col("_sa").bitwiseXOR(col("_sb"))))
@@ -351,7 +376,8 @@ object Dedup {
       vec: String = "embedding",
       exact: Boolean = false,
       bands: Int = 8,
-      rowsPerBand: Int = 7
+      rowsPerBand: Int = 7,
+      maxBucket: Int = DefaultMaxBucket
   ): DataFrame = {
     val a = emb.select(col(id).as("id_a"), col(vec).as("va"),
       graft.ann.Similarity.norm(col(vec)).as("_na"))
@@ -366,7 +392,7 @@ object Dedup {
         // band b's sub-bucket = bits [b·r, (b+1)·r) of the single bucket
         val bandBuckets = array((0 until bands).map(bd =>
           shiftright(bucket, bd * rowsPerBand).bitwiseAND(mask)): _*)
-        bandedCandidates(emb, col(id), bandBuckets)
+        bandedCandidates(emb, col(id), bandBuckets, maxBucket)
           .join(a, Seq("id_a"))
           .join(b, Seq("id_b"))
       }

@@ -67,6 +67,15 @@ class SimhashPairsSpec extends SparkSpec {
     val dup = Seq((1L, "same words here exactly"), (2L, "same words here exactly")).toDF("doc_id", "text")
     assert(Dedup.simhashHammingPairs(dup, maxHamming = 0).select("hamming").first().getInt(0) == 0)
   }
+
+  test("the hot-bucket valve binds: a degenerate bucket is dropped at maxBucket") {
+    import spark.implicits._
+    // 5 identical docs put 5 rows in EVERY band bucket
+    val clones = (1L to 5L).map(i => (i, "identical boilerplate text body")).toDF("doc_id", "text")
+    assert(Dedup.simhashHammingPairs(clones, maxHamming = 3).count() == 10, "uncapped: all C(5,2) pairs")
+    assert(Dedup.simhashHammingPairs(clones, maxHamming = 3, maxBucket = 4).count() == 0,
+      "every bucket holds 5 > 4 rows and must be dropped")
+  }
 }
 
 class DupClustersSpec extends SparkSpec {
