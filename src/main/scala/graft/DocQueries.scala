@@ -177,6 +177,22 @@ object DocQueries {
       Multimodal.sampleFrames(media(sp, dir), 1000)
         .groupBy(col("id")).agg(count(lit(1)).as("n_frames"))),
 
+    // ---- deterministic sampling + sequence packing ----
+    "q_smp_hash" -> ((sp, dir) =>
+      graft.sample.Sampling.byHash(docs(sp, dir), fraction = 0.1, key = "doc_id")
+        .select(col("doc_id"), col("lang"))),
+    "q_smp_stratified" -> ((sp, dir) =>
+      graft.sample.Sampling.stratified(docs(sp, dir), "lang",
+          Map("en" -> 0.5, "de" -> 0.2), key = "doc_id", defaultFraction = 0.05)
+        .select(col("doc_id"), col("lang"))),
+    "q_tok_packing" -> ((sp, dir) => {
+      val seqs = docs(sp, dir).select(
+        col("doc_id"), col("lang").as("source"),
+        size(TextHash.tokenHashes(col("text"))).as("n_tok"))
+      graft.sample.TokenPacking.contiguous(seqs, budget = 2048)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("bin_id"), col("bin_offset"))
+    }),
+
     // ---- token-grid round trip (north-rule per-row invariant) ----
     "q_tok_roundtrip" -> ((sp, dir) => {
       val seqs = docs(sp, dir).select(
@@ -559,6 +575,28 @@ object DocQueries {
         s"""$MediaSql
            |SELECT id, ((duration_ms - 1) // 1000 + 1)::BIGINT AS n_frames
            |FROM m WHERE modality = 'video'""".stripMargin,
+      "q_smp_hash" -> {
+        val a = 506952114L * (2 * 0 + 1) % TextHash.P
+        val b = (40503L * (0 + 1)) % TextHash.P
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE ((doc_id % $P) * $a % $P + $b) % $P % 1000000 < ${(0.1 * 1000000).toLong}""".stripMargin
+      },
+      "q_smp_stratified" -> {
+        val a = 506952114L * (2 * 0 + 1) % TextHash.P
+        val b = (40503L * (0 + 1)) % TextHash.P
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE ((doc_id % $P) * $a % $P + $b) % $P % 1000000 <
+           |  CASE WHEN lang = 'en' THEN ${(0.5 * 1000000).toLong}
+           |       WHEN lang = 'de' THEN ${(0.2 * 1000000).toLong}
+           |       ELSE ${(0.05 * 1000000).toLong} END""".stripMargin
+      },
+      "q_tok_packing" ->
+        s"""WITH t AS (SELECT doc_id, lang AS source, len($sqlWordHashes) AS n_tok FROM documents),
+           |c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM t)
+           |SELECT doc_id, source, n_tok,
+           |  cast(floor((cum - n_tok)::DOUBLE / 2048) AS BIGINT) AS bin_id,
+           |  cast(cum - n_tok AS BIGINT) AS bin_offset
+           |FROM c""".stripMargin,
       "q_tok_roundtrip" ->
         s"""WITH t AS (SELECT doc_id::VARCHAR AS doc_id, $sqlWordHashes AS wh FROM documents)
            |SELECT doc_id, i - 1 AS pos, wh[i]::INT AS token

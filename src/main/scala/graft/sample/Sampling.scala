@@ -1,0 +1,89 @@
+package graft.sample
+
+import graft.functions.TextHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for training-data pipelines (engine-added;
+  * the reference has no sampling surface — SURVEY.md §2.9).
+  *
+  * All selection is PURE HASH ARITHMETIC over the row key (the portable
+  * [[TextHash]] affine family, not `rand()`/`sample()`), which buys the
+  * three properties production pipelines actually need:
+  *
+  *   - REPEATABLE: the same (key, seed, fraction) keeps the same rows on
+  *     every run, every executor count, every retry — no RNG state;
+  *   - CONSISTENT ACROSS TABLES: any table keyed by the same id samples the
+  *     SAME entities, so features/labels/metadata stay joinable;
+  *   - MONOTONE IN FRACTION: the 10% sample is a superset of the 1% sample
+  *     (selection is `bucket < fraction·M`), so sweeps nest.
+  *
+  * And it is oracle-able bit-for-bit in any engine (plain integer SQL). */
+object Sampling {
+
+  /** Number of hash buckets the unit interval is quantized to. */
+  val Buckets: Long = 1000000L
+
+  /** Uniform sample bucket in [0, [[Buckets]]) for a LONG key:
+    * affine(pmod(key, P), seed-salt) mod Buckets. */
+  def bucket(key: Column, seed: Int = 0): Column =
+    TextHash.affine(pmod(key.cast("long"), lit(TextHash.P)), seed) % Buckets
+
+  /** Keep ~`fraction` of rows, decided by the key hash alone. */
+  def byHash(df: DataFrame, fraction: Double, key: String, seed: Int = 0): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
+    df.where(bucket(col(key), seed) < (fraction * Buckets).toLong)
+  }
+
+  /** Per-stratum fractions (e.g. per-language corpus mixing): rows in a
+    * stratum listed in `fractions` keep its rate; unlisted strata keep
+    * `defaultFraction`. One scan, no shuffle — the mixing weights of a
+    * 100-TB pretraining corpus as a WHERE clause. */
+  def stratified(
+      df: DataFrame,
+      strataCol: String,
+      fractions: Map[String, Double],
+      key: String,
+      defaultFraction: Double = 0.0,
+      seed: Int = 0
+  ): DataFrame = {
+    require((defaultFraction +: fractions.values.toSeq).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    val threshold = fractions.foldLeft(lit((defaultFraction * Buckets).toLong)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit((f * Buckets).toLong)).otherwise(acc)
+    }
+    df.where(bucket(col(key), seed) < threshold)
+  }
+}
+
+/** Sequence packing: assign documents to fixed token-budget bins — the
+  * standard pretraining step that concatenates documents up to a context
+  * window. The distributed formulation is CONTIGUOUS packing: within each
+  * (partition key, deterministic order), bin id = ⌊(cumulative tokens −
+  * n_tok) / budget⌋ — one window cumsum, no sequential packer, documents
+  * larger than the budget get their own bin(s). Greedy first-fit packs
+  * marginally tighter but is inherently sequential; contiguous packing is
+  * the shape that parallelizes (and what large pipelines actually run). */
+object TokenPacking {
+
+  /** Adds `bin_id` (0-based per `partCol`) and `bin_offset` (the doc's
+    * first-token offset inside its cumulative stream). Deterministic order:
+    * (orderCol asc). */
+  def contiguous(
+      df: DataFrame,
+      budget: Int,
+      nTokCol: String = "n_tok",
+      partCol: String = "source",
+      orderCol: String = "doc_id"
+  ): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col(orderCol))
+    val cum = sum(col(nTokCol)).over(w)
+    df.withColumn("_cum", cum)
+      .withColumn("bin_id", floor((col("_cum") - col(nTokCol)).cast("double") / budget).cast("long"))
+      .withColumn("bin_offset", col("_cum") - col(nTokCol))
+      .drop("_cum")
+  }
+}
