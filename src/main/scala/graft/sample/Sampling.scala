@@ -67,23 +67,35 @@ object Sampling {
   * the shape that parallelizes (and what large pipelines actually run). */
 object TokenPacking {
 
-  /** Adds `bin_id` (0-based per `partCol`) and `bin_offset` (the doc's
-    * first-token offset inside its cumulative stream). Deterministic order:
-    * (orderCol asc). */
+  /** Adds `bin_id` (0-based per packing stream) and `bin_offset` (the doc's
+    * first-token offset inside its stream). Deterministic order: orderCol
+    * ascending within a stream.
+    *
+    * SCALE KNOB: the cumsum is sequential WITHIN a window partition, so one
+    * giant source would serialize on a single task. `shards > 1` splits each
+    * source into `shards` independent packing streams by the portable hash
+    * of `orderCol` (each stream packs separately — exactly how production
+    * packers parallelize; bins never span shards). The output gains the
+    * `shard` column; shards = 1 keeps the single-stream layout. */
   def contiguous(
       df: DataFrame,
       budget: Int,
       nTokCol: String = "n_tok",
       partCol: String = "source",
-      orderCol: String = "doc_id"
+      orderCol: String = "doc_id",
+      shards: Int = 1
   ): DataFrame = {
     require(budget > 0, "budget must be positive")
+    require(shards >= 1, "shards must be >= 1")
+    val base = if (shards == 1) df.withColumn("_shard", lit(0L))
+      else df.withColumn("_shard", Sampling.bucket(col(orderCol)) % shards)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(partCol)).orderBy(col(orderCol))
+      .partitionBy(col(partCol), col("_shard")).orderBy(col(orderCol))
     val cum = sum(col(nTokCol)).over(w)
-    df.withColumn("_cum", cum)
+    val out = base.withColumn("_cum", cum)
       .withColumn("bin_id", floor((col("_cum") - col(nTokCol)).cast("double") / budget).cast("long"))
       .withColumn("bin_offset", col("_cum") - col(nTokCol))
       .drop("_cum")
+    if (shards == 1) out.drop("_shard") else out.withColumnRenamed("_shard", "shard")
   }
 }

@@ -50,4 +50,21 @@ class SamplingSpec extends SparkSpec {
     val bins = packed.groupBy("source", "bin_id").count()
     assert(bins.where(col("count") < 1).count() == 0)
   }
+
+  test("sharded packing keeps per-stream contiguity and partitions the docs") {
+    val seqs = docs.select(col("doc_id"), col("lang").as("source"),
+      size(graft.functions.TextHash.tokenHashes(col("text"))).as("n_tok"))
+    val packed = TokenPacking.contiguous(seqs, budget = 512, shards = 4)
+    assert(packed.count() == seqs.count(), "sharding must not drop or duplicate docs")
+    val rows = packed.orderBy("source", "shard", "doc_id")
+      .select("source", "shard", "n_tok", "bin_offset").collect()
+    var key = ("", -1L)
+    var cum = 0L
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      if (k != key) { key = k; cum = 0L }
+      assert(r.getLong(3) == cum, s"per-(source, shard) offsets must be contiguous at $r")
+      cum += r.getInt(2)
+    }
+  }
 }
