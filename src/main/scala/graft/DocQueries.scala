@@ -576,13 +576,14 @@ object DocQueries {
            |SELECT id, ((duration_ms - 1) // 1000 + 1)::BIGINT AS n_frames
            |FROM m WHERE modality = 'video'""".stripMargin,
       "q_smp_hash" -> {
-        val a = 506952114L * (2 * 0 + 1) % TextHash.P
+        // derive the affine pair exactly as TextHash.affine(x, 0) does
+        val a = 2654435761L % TextHash.P * (2 * 0 + 1) % TextHash.P
         val b = (40503L * (0 + 1)) % TextHash.P
         s"""SELECT doc_id, lang FROM documents
            |WHERE ((doc_id % $P) * $a % $P + $b) % $P % 1000000 < ${(0.1 * 1000000).toLong}""".stripMargin
       },
       "q_smp_stratified" -> {
-        val a = 506952114L * (2 * 0 + 1) % TextHash.P
+        val a = 2654435761L % TextHash.P * (2 * 0 + 1) % TextHash.P
         val b = (40503L * (0 + 1)) % TextHash.P
         s"""SELECT doc_id, lang FROM documents
            |WHERE ((doc_id % $P) * $a % $P + $b) % $P % 1000000 <

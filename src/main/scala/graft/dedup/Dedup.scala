@@ -134,11 +134,15 @@ object Dedup {
     val banded0 = df.select(idCol.as("_id"), posexplode(bandBuckets).as(Seq("_band", "_bb")))
     val banded =
       if (maxBucket == Int.MaxValue) banded0
-      else {
-        val sizes = banded0.groupBy(col("_band"), col("_bb"))
-          .agg(count(lit(1)).as("_sz")).where(col("_sz") <= maxBucket)
-        banded0.join(sizes.select(col("_band"), col("_bb")), Seq("_band", "_bb"))
-      }
+      else
+        // window count on the SAME (band, bucket) clustering the self-join
+        // shuffles on — one exchange, no second evaluation of the (possibly
+        // expensive) bucket lineage for a separate aggregate+join
+        banded0
+          .withColumn("_sz", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("_band"), col("_bb"))))
+          .where(col("_sz") <= maxBucket)
+          .drop("_sz")
     banded.select(col("_id").as("id_a"), col("_band"), col("_bb"))
       .join(banded.select(col("_id").as("id_b"), col("_band"), col("_bb")), Seq("_band", "_bb"))
       .where(col("id_a") < col("id_b"))
@@ -203,8 +207,13 @@ object Dedup {
     * at most `maxHamming` bits. Candidate generation is the PIGEONHOLE band
     * trick — split the fingerprint into `maxHamming + 1` bit-bands; any pair
     * within the hamming budget matches at least one band EXACTLY — so the
-    * join is a narrow equality join on (band, bits) with recall 1.0 (unlike
-    * probabilistic LSH). Exact `bit_count(xor)` re-rank on the candidates.
+    * join is a narrow equality join on (band, bits), and recall is 1.0
+    * (unlike probabilistic LSH) AS LONG AS the hot-bucket valve does not
+    * bind: buckets above `maxBucket` are dropped, losing their pairs unless
+    * another band catches them. Pass `maxBucket = Int.MaxValue` for the
+    * strict pigeonhole guarantee — but a >10⁵-row bucket at h ≤ 3 means the
+    * corpus needs an exact/minhash dedup pass first, not a bigger join.
+    * Exact `bit_count(xor)` re-rank on the candidates.
     *
     * BUDGET ECONOMICS: on a homogeneous corpus every simhash bit is biased
     * the same way, so band entropy comes from band WIDTH — 62/(h+1) bits.

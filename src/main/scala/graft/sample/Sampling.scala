@@ -24,15 +24,29 @@ object Sampling {
   /** Number of hash buckets the unit interval is quantized to. */
   val Buckets: Long = 1000000L
 
-  /** Uniform sample bucket in [0, [[Buckets]]) for a LONG key:
-    * affine(pmod(key, P), seed-salt) mod Buckets. */
+  /** The key column as a hashable long, resolved against `df`'s schema:
+    * integral keys by value, string keys via the portable polyHash — any
+    * other type is rejected LOUDLY (a silent `cast("long")` on e.g. a UUID
+    * would null out and sample ZERO rows with no error). */
+  private[sample] def keyed(df: DataFrame, key: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(key).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => col(key).cast("long")
+      case StringType                                    => TextHash.polyHash(col(key))
+      case other =>
+        throw new IllegalArgumentException(s"sampling key '$key' must be integral or string, got $other")
+    }
+  }
+
+  /** Uniform sample bucket in [0, [[Buckets]]) for an already-long key
+    * expression: affine(pmod(key, P), seed-salt) mod Buckets. */
   def bucket(key: Column, seed: Int = 0): Column =
     TextHash.affine(pmod(key.cast("long"), lit(TextHash.P)), seed) % Buckets
 
   /** Keep ~`fraction` of rows, decided by the key hash alone. */
   def byHash(df: DataFrame, fraction: Double, key: String, seed: Int = 0): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
-    df.where(bucket(col(key), seed) < (fraction * Buckets).toLong)
+    df.where(bucket(keyed(df, key), seed) < (fraction * Buckets).toLong)
   }
 
   /** Per-stratum fractions (e.g. per-language corpus mixing): rows in a
@@ -53,7 +67,7 @@ object Sampling {
       case (acc, (stratum, f)) =>
         when(col(strataCol) === stratum, lit((f * Buckets).toLong)).otherwise(acc)
     }
-    df.where(bucket(col(key), seed) < threshold)
+    df.where(bucket(keyed(df, key), seed) < threshold)
   }
 }
 
@@ -88,7 +102,7 @@ object TokenPacking {
     require(budget > 0, "budget must be positive")
     require(shards >= 1, "shards must be >= 1")
     val base = if (shards == 1) df.withColumn("_shard", lit(0L))
-      else df.withColumn("_shard", Sampling.bucket(col(orderCol)) % shards)
+      else df.withColumn("_shard", Sampling.bucket(Sampling.keyed(df, orderCol)) % shards)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(partCol), col("_shard")).orderBy(col(orderCol))
     val cum = sum(col(nTokCol)).over(w)

@@ -46,9 +46,14 @@ class SamplingSpec extends SparkSpec {
       assert(r.getLong(2) == cum / 512, s"bin must be the offset's 512-window at $r")
       cum += r.getInt(1)
     }
-    // every bin holds at least one doc start; ids are dense enough to train on
-    val bins = packed.groupBy("source", "bin_id").count()
-    assert(bins.where(col("count") < 1).count() == 0)
+    // oversized docs straddle: a doc bigger than the budget occupies its
+    // start window and the NEXT doc lands past the skipped windows
+    import spark.implicits._
+    val big = Seq((1L, "s", 5000), (2L, "s", 10), (3L, "s", 10)).toDF("doc_id", "source", "n_tok")
+    val bp = TokenPacking.contiguous(big, budget = 512).orderBy("doc_id")
+      .select("bin_id", "bin_offset").as[(Long, Long)].collect()
+    assert(bp(0) == (0L, 0L) && bp(1) == (9L, 5000L) && bp(2) == (9L, 5010L),
+      s"straddle layout wrong: ${bp.toSeq}")
   }
 
   test("sharded packing keeps per-stream contiguity and partitions the docs") {
