@@ -104,6 +104,9 @@ object DocQueries {
     "q_txt_token_counts" -> ((sp, dir) =>
       TextFeatures.withTokenCounts(docs(sp, dir))
         .select(col("doc_id"), col("n_tokens_ws"), col("n_tokens_bpeish"))),
+    "q_txt_pii" -> ((sp, dir) =>
+      TextFeatures.withPiiCounts(docs(sp, dir))
+        .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_digit_runs"))),
 
     // ---- dedup ----
     "q_dedup_exact" -> ((sp, dir) => Dedup.exact(docs(sp, dir))),
@@ -123,6 +126,13 @@ object DocQueries {
       val d = docs(sp, dir)
       Dedup.dupClusters(
         Dedup.minhashLshPairs(d, k = 3, numHashes = 16, bands = 4, estThreshold = 0.25), d)
+    }),
+
+    // benchmark decontamination: docs (id ≥ 20) sharing any 3-shingle with
+    // the pretend eval set (id < 20)
+    "q_dedup_decontam" -> ((sp, dir) => {
+      val d = docs(sp, dir)
+      Dedup.contaminatedDocs(d.where(col("doc_id") >= 20), d.where(col("doc_id") < 20), k = 3)
     }),
 
     // ---- similarity ----
@@ -349,6 +359,19 @@ object DocQueries {
         s"""WITH t AS (SELECT doc_id, $sqlWordHashes AS wh FROM documents),
            |s AS (SELECT doc_id, $sqlShingles AS sh FROM t)
            |SELECT doc_id, list_min(sh) AS min_shingle FROM s""".stripMargin,
+      "q_txt_pii" ->
+        s"""SELECT doc_id,
+           |  cast(len(regexp_extract_all(text, '${TextFeatures.EmailPattern}')) AS INTEGER) AS n_emails,
+           |  cast(len(regexp_extract_all(text, '${TextFeatures.Ipv4Pattern}')) AS INTEGER) AS n_ipv4,
+           |  cast(len(regexp_extract_all(text, '${TextFeatures.LongDigitRunPattern}')) AS INTEGER) AS n_digit_runs
+           |FROM documents""".stripMargin,
+      "q_dedup_decontam" ->
+        s"""WITH t AS (SELECT doc_id, $sqlWordHashes AS wh FROM documents),
+           |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+           |bench AS (SELECT DISTINCT unnest(sh) AS x FROM s WHERE doc_id < 20),
+           |inv AS (SELECT doc_id, unnest(sh) AS x FROM s WHERE doc_id >= 20)
+           |SELECT inv.doc_id, count(*) AS n_hits
+           |FROM inv JOIN bench USING (x) GROUP BY inv.doc_id""".stripMargin,
       "q_dedup_exact" ->
         """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents)
           |SELECT content_hash, doc_id,

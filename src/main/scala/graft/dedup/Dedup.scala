@@ -97,6 +97,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Benchmark DECONTAMINATION: flag corpus docs sharing any k-word shingle
+    * with a benchmark/eval set — the standard pre-training hygiene pass that
+    * keeps test questions out of the training data. The benchmark's distinct
+    * shingle-hash set is dimension-sized (eval suites are thousands of docs,
+    * not billions) so it BROADCASTS; the corpus side is one scan + explode +
+    * broadcast hash-semi-join + per-doc count — zero shuffles on the corpus
+    * until the final keyed agg (map-side partial). Output: (id, n_hits) for
+    * contaminated docs only; anti-join `all` against it to keep the clean
+    * ones. */
+  def contaminatedDocs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      k: Int = 3,
+      id: String = "doc_id",
+      text: String = "text"
+  ): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(TextHash.shingleHashes(TextHash.tokenHashes(col(text)), k)).as("sh"))
+      .distinct()
+    val inv = shingles(corpus, k, id, text)
+      .select(col(id), explode(col("shingles")).as("sh"))
+    inv.join(broadcast(benchShingles), Seq("sh"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** MinHash signatures (numHashes affine permutations over the shingle
     * set). Output: (id, sig array<long>). */
   def minhashSignatures(

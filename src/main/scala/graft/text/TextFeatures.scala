@@ -20,6 +20,20 @@ object TextFeatures {
   def withTokenCount(df: DataFrame, text: String = "text"): DataFrame =
     df.withColumn("n_tokens", size(TextHash.tokens(col(text))))
 
+  /** PII-ish surface-pattern counts (emails, IPv4s, long digit runs) — the
+    * signal a scrubbing/filter stage keys on before redaction. Counts only:
+    * redaction itself is a `regexp_replace` away and policy-specific.
+    * Patterns are RE2-safe (no lookarounds/backrefs) so they evaluate
+    * identically under Java regex and the DuckDB oracle. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val Ipv4Pattern: String = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+  val LongDigitRunPattern: String = "[0-9][0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"
+
+  def withPiiCounts(df: DataFrame, text: String = "text"): DataFrame =
+    df.withColumn("n_emails", size(regexp_extract_all(col(text), lit(EmailPattern), lit(0))))
+      .withColumn("n_ipv4", size(regexp_extract_all(col(text), lit(Ipv4Pattern), lit(0))))
+      .withColumn("n_digit_runs", size(regexp_extract_all(col(text), lit(LongDigitRunPattern), lit(0))))
+
   /** BPE-ish pre-tokenizer regex (GPT-2 style simplified to an RE2-safe
     * subset — letter runs, digit runs, punctuation runs, each with optional
     * leading space): the usual cheap proxy for "how many tokens will the

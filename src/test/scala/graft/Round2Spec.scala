@@ -98,6 +98,33 @@ class DupClustersSpec extends SparkSpec {
   }
 }
 
+class DecontamPiiSpec extends SparkSpec {
+
+  test("decontamination flags benchmark-shingle overlap and only that") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "totally unrelated training text here"),
+      (2L, "prefix words the quick brown fox suffix"), // shares 2 shingles
+      (3L, "quick brown dog runs away now")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contaminatedDocs(corpus, bench, k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(2L -> 2L), s"expected only doc 2 with 2 shingle hits, got $hits")
+  }
+
+  test("PII counts find emails, IPv4s, and long digit runs") {
+    import spark.implicits._
+    val t = Seq((1L, "mail me at a.b+c@test-host.org or 10.0.0.1 ref 123456789 end"),
+      (2L, "nothing sensitive 1234567 short")).toDF("doc_id", "text")
+    val got = graft.text.TextFeatures.withPiiCounts(t)
+      .orderBy("doc_id").select("n_emails", "n_ipv4", "n_digit_runs")
+      .as[(Int, Int, Int)].collect()
+    assert(got(0) == ((1, 1, 1)), s"doc 1 counts wrong: ${got(0)}")
+    assert(got(1) == ((0, 0, 0)), "7 digits is below the 8+ run threshold")
+  }
+}
+
 class JaccardCapSpec extends SparkSpec {
 
   test("a hot shingle is dropped at maxDf and surfaces in the audit view") {
