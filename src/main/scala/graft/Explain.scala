@@ -138,6 +138,21 @@ object Explain {
     check("simhash pairs: no CartesianProduct")(!shpPlan.contains("CartesianProduct"))
     check("simhash pairs: no BroadcastNestedLoopJoin")(!shpPlan.contains("BroadcastNestedLoop"))
 
+    // --- decontamination: benchmark side broadcast, corpus side scan+agg ---
+    val decon = graft.dedup.Dedup.contaminatedDocs(
+      docs.where(col("doc_id") >= 20), docs.where(col("doc_id") < 20))
+    val deconPlan = decon.queryExecution.executedPlan.toString
+    println("=== decontamination (broadcast benchmark shingles) ===")
+    check("decontam: benchmark side broadcast")(deconPlan.contains("BroadcastHashJoin"))
+    check("decontam: no sort-merge join")(!deconPlan.contains("SortMergeJoin"))
+
+    // --- hash sampling: pure pushed-down filter, zero exchanges ---
+    val smp = graft.sample.Sampling.byHash(docs, 0.1, "doc_id")
+    val smpPlan = smp.queryExecution.executedPlan.toString
+    println("=== hash sampling (filter-only plan) ===")
+    check("sampling: no exchange")(!smpPlan.contains("Exchange"))
+    check("sampling: no join")(!smpPlan.contains("Join"))
+
     // --- visited_poi: inline predicate — single scan, zero joins/shuffles ---
     val sur = t.where(col("traj_id") === "3")
       .select(col("lat"), col("lon"), (col("lat") * 1000.0).as("dist_poi"))
