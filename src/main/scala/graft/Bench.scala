@@ -57,10 +57,11 @@ object Bench {
     // Window buffer threshold raised so per-entity groups stay in plain
     // on-heap arrays instead of hitting the managed external sorter.
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", (cpus.toInt * 4).toString)
+    val windowBuffer = sys.env.getOrElse("SPARK_GRAFT_WINDOW_BUFFER", "1048576")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.windowExec.buffer.in.memory.threshold", "1048576")
+      .config("spark.sql.windowExec.buffer.in.memory.threshold", windowBuffer)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -91,12 +92,16 @@ object Bench {
     // BASELINE.md asks for shuffle bytes alongside throughput)
     val shufWrite = new java.util.concurrent.atomic.AtomicLong(0L)
     val shufRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val taskRun = new java.util.concurrent.atomic.AtomicLong(0L) // executorRunTime ms
+    val taskGc = new java.util.concurrent.atomic.AtomicLong(0L)  // jvmGCTime ms
     val stageLog = sys.env.get("SPARK_GRAFT_STAGE_LOG").contains("1")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         shufWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
         shufRead.addAndGet(sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+        taskRun.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+        taskGc.addAndGet(sc.stageInfo.taskMetrics.jvmGCTime)
         if (stageLog) {
           val si = sc.stageInfo
           val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
@@ -106,11 +111,6 @@ object Bench {
         }
       }
     })
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      flagshipOut.write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
-    }
     // stage-completed events are delivered asynchronously; poll the
     // accumulators until they are stable (2 consecutive unchanged reads,
     // bounded) instead of guessing a fixed sleep
@@ -120,46 +120,68 @@ object Bench {
       var waited = 0
       while (stable < 2 && waited < 5000) {
         Thread.sleep(200); waited += 200
-        val cur = shufWrite.get() + shufRead.get()
+        val cur = shufWrite.get() + shufRead.get() + taskRun.get() + taskGc.get()
         if (cur == prev) stable += 1 else { stable = 0; prev = cur }
       }
     }
-    val (flagshipSec, shufWriteRun, shufReadRun) = if (paths("window")) {
-      once() // warmup
+    /** One timed leg: (wall s, task-time s, gc s) — task-time is summed
+      * executorRunTime across the leg's stages, the contention-robust
+      * denominator BENCH.md tracks alongside wall (this VM's wall times
+      * swing up to 8x between identical reps; see BENCH.md §weather). */
+    def leg(run: () => Unit): (Double, Double, Double) = {
       drainListeners()
-      shufWrite.set(0L); shufRead.set(0L)
-      val times = (1 to reps).map(_ => once()).sorted
+      val r0 = taskRun.get(); val g0 = taskGc.get()
+      val t0 = System.nanoTime()
+      run()
+      val wall = (System.nanoTime() - t0) / 1e9
       drainListeners()
-      (times(times.length / 2), shufWrite.get() / math.max(reps, 1), shufRead.get() / math.max(reps, 1))
-    } else (0.0, 0L, 0L)
+      (wall, (taskRun.get() - r0) / 1e3, (taskGc.get() - g0) / 1e3)
+    }
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+    def jarr(xs: Seq[Double]): String = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+
+    val writeFlag = () => flagshipOut.write.mode("overwrite").format("noop").save()
+    val (flagshipSec, flagReps, flagTask, flagGc, shufWriteRun, shufReadRun) =
+      if (paths("window")) {
+        leg(writeFlag) // warmup
+        shufWrite.set(0L); shufRead.set(0L)
+        val rs = (1 to reps).map(_ => leg(writeFlag))
+        (median(rs.map(_._1)), rs.map(_._1), median(rs.map(_._2)), median(rs.map(_._3)),
+          shufWrite.get() / math.max(reps, 1), shufRead.get() / math.max(reps, 1))
+      } else (0.0, Seq.empty[Double], 0.0, 0.0, 0L, 0L)
     val tps = if (flagshipSec > 0) tokens / flagshipSec else 0.0
+    // task-second throughput: tokens / summed-executor-busy-seconds — the
+    // number that survives host contention (wall = taskSec / effective cores)
+    val tpts = if (flagTask > 0) tokens / flagTask else 0.0
 
     // --- grouped (shuffle-free) flagship: typed per-doc kernel ---
-    val (groupedSec, gShufWrite) = if (paths("grouped")) {
+    val (groupedSec, grpReps, grpTask, grpGc, gShufWrite) = if (paths("grouped")) {
       val groupedOut = graft.features.TokenKernel
         .docVectors(spark.read.parquet(corpusPath), stepSec = 1L, gapSeconds = 1.5)
-      def onceGrouped(): Double = {
-        val t0 = System.nanoTime()
-        groupedOut.write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      onceGrouped() // warmup
-      drainListeners()
+      val writeGrp = () => groupedOut.write.mode("overwrite").format("noop").save()
+      leg(writeGrp) // warmup
       shufWrite.set(0L)
-      val gTimes = (1 to reps).map(_ => onceGrouped()).sorted
-      drainListeners()
-      // must stay 0 — a shuffle regression in the grouped plan shows here
-      (gTimes(gTimes.length / 2), shufWrite.get() / math.max(reps, 1))
-    } else (0.0, 0L)
+      val rs = (1 to reps).map(_ => leg(writeGrp))
+      // shuffle bytes must stay 0 — a shuffle regression in the grouped plan shows here
+      (median(rs.map(_._1)), rs.map(_._1), median(rs.map(_._2)), median(rs.map(_._3)),
+        shufWrite.get() / math.max(reps, 1))
+    } else (0.0, Seq.empty[Double], 0.0, 0.0, 0L)
     val gTps = if (groupedSec > 0) tokens / groupedSec else 0.0
+    val gTpts = if (grpTask > 0) tokens / grpTask else 0.0
+
+    // --- host-weather controls: fixed pure-JVM work, no Spark ---
+    // (measured AFTER the legs so they sample the same weather window;
+    // alu = register-resident xorshift, membw = streaming sum over a
+    // 512 MiB shared array — a slow membw with a normal alu is the
+    // memory-bandwidth-contention signature this VM exhibits)
+    val aluSec = Controls.aluControl(cpus.toInt)
+    val membwSec = Controls.membwControl(cpus.toInt)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + flagshipSec
     val totalS = f"$total%.3f"
-    val flagS = f"$flagshipSec%.3f"
-    val groupedS = f"$groupedSec%.3f"
     println(
-      s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"tokens":$tokens,"flagship_sec":$flagS,"tokens_per_sec":${tps.toLong},"grouped_sec":$groupedS,"grouped_tokens_per_sec":${gTps.toLong},"shuffle_write_bytes":$shufWriteRun,"shuffle_read_bytes":$shufReadRun,"grouped_shuffle_write_bytes":$gShufWrite,"shuffle_partitions":$shufflePartitions,"input_partitions":256}"""
+      s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"tokens":$tokens,"flagship_sec":${f"$flagshipSec%.3f"},"tokens_per_sec":${tps.toLong},"flagship_reps_sec":${jarr(flagReps)},"flagship_task_sec":${f"$flagTask%.3f"},"flagship_gc_sec":${f"$flagGc%.3f"},"tokens_per_task_sec":${tpts.toLong},"grouped_sec":${f"$groupedSec%.3f"},"grouped_tokens_per_sec":${gTps.toLong},"grouped_reps_sec":${jarr(grpReps)},"grouped_task_sec":${f"$grpTask%.3f"},"grouped_gc_sec":${f"$grpGc%.3f"},"grouped_tokens_per_task_sec":${gTpts.toLong},"alu_control_sec":${f"$aluSec%.3f"},"membw_control_sec":${f"$membwSec%.3f"},"window_buffer":$windowBuffer,"shuffle_write_bytes":$shufWriteRun,"shuffle_read_bytes":$shufReadRun,"grouped_shuffle_write_bytes":$gShufWrite,"shuffle_partitions":$shufflePartitions,"input_partitions":256}"""
     )
     spark.stop()
   }

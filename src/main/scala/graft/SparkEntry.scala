@@ -416,7 +416,16 @@ object SparkEntry {
     // I3 — kinematic interpolation (exact closed-form arithmetic)
     "q_ip_kinematic" -> ((sp, dir) =>
       Interpolation.kinematic(traj(sp, dir).drop("event_id"), S.copy(orderCols = Nil), 43200.0)
-        .select(col("traj_id"), col("ts"), r(col("lat"), 6).as("lat"), r(col("lon"), 6).as("lon")))
+        .select(col("traj_id"), col("ts"), r(col("lat"), 6).as("lat"), r(col("lon"), 6).as("lon"))),
+
+    // ---- streaming operators, replayed deterministically (StreamDrive) ----
+    // real Structured Streaming runs (file source, AvailableNow, one file
+    // per micro-batch) whose output provably equals the batch operator —
+    // see StreamDrive's determinism argument
+    "q_stream_dedup" -> ((sp, dir) =>
+      graft.streaming.StreamDrive.dedupOverDocuments(sp, dir)),
+    "q_stream_ses" -> ((sp, dir) =>
+      graft.streaming.StreamDrive.sessionizeOverEvents(sp, dir, gapSeconds = 3600.0))
   )
 
   def oracleSql: Map[String, String] = {
@@ -424,6 +433,22 @@ object SparkEntry {
       .map { case (c, e, d) => s"${rs(e, d)} AS \"$c\"" }
       .mkString(", ")
     DocQueries.oracleSql ++ Map(
+      // streaming dedup ≡ one survivor per distinct text (horizon >> span;
+      // survivor projected onto group-constant columns)
+      "q_stream_dedup" ->
+        "SELECT DISTINCT md5(text) AS content_hash, length(text)::BIGINT AS n_chars FROM documents",
+      // streaming gap-sessionize ≡ batch gap rule over event-time order
+      // (ties share a ts ⇒ same Δt=0 session either way)
+      "q_stream_ses" ->
+        """WITH pts AS (SELECT cast(user_id AS varchar) AS entity, ts FROM events),
+          |bnd AS (
+          |  SELECT entity, ts,
+          |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000 THEN 1 ELSE 0 END AS b
+          |  FROM pts WINDOW w AS (PARTITION BY entity ORDER BY ts)
+          |)
+          |SELECT entity, ts,
+          |  cast(sum(b) OVER (PARTITION BY entity ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          |FROM bnd""".stripMargin,
       "q_kin_features" ->
         s"""$KinSql SELECT traj_id, event_id, $kinFeat FROM kin""",
       "q_kin_distance" ->

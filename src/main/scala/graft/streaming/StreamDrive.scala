@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Deterministic batch drivers for the streaming operators — this is what
+  * puts [[StreamDedup]] and [[StreamSessionize]] on the driver's DuckDB
+  * correctness gate (VERDICT r2 item 2): each driver stages the sf-dir
+  * table as a sequence of event-time-ordered files, replays them through
+  * the REAL streaming operator with a file source + `Trigger.AvailableNow`
+  * (multiple micro-batches via `maxFilesPerTrigger=1`), and returns the
+  * materialized sink as a DataFrame whose contents are provably equal to
+  * the batch operator's — so the existing SQL-oracle machinery value-checks
+  * the streaming path end-to-end.
+  *
+  * Determinism argument (why a stream can be hash-compared to SQL):
+  *  - files are staged with `repartitionByRange` on the event-time column,
+  *    so micro-batch i+1's minimum ts ≥ micro-batch i's maximum ts (equal
+  *    keys land in one range partition — no cross-batch ties), and file
+  *    modification times are set explicitly in range order so the file
+  *    source replays them in event-time order;
+  *  - therefore the watermark (prev-batch max − delay) is always behind
+  *    every row of the next batch: nothing is late-dropped, for ANY
+  *    positive delay;
+  *  - [[StreamSessionize.byGap]] sorts within each micro-batch group, so
+  *    with ordered batches the per-entity scan order equals the batch
+  *    operator's global order → identical session ids;
+  *  - [[StreamDedup.exact]] keeps the first arrival per content hash; the
+  *    driver projects survivors onto columns CONSTANT within a duplicate
+  *    group (hash, length), so any survivor yields the same row set.
+  */
+object StreamDrive {
+
+  /** Stage `df` as `nRanges` parquet files ordered by `orderCol`, with
+    * strictly increasing mtimes, under a fresh temp dir. */
+  private def stageRanges(df: DataFrame, orderCol: String, nRanges: Int): Path = {
+    val stage = Files.createTempDirectory("graft_stream_stage_")
+    df.repartitionByRange(nRanges, col(orderCol))
+      .write.mode("overwrite").parquet(stage.toString)
+    // part-0000i holds range-partition i (lowest range first); pin mtimes
+    // so the file source's modTime ordering equals event-time ordering
+    val parts = Files.list(stage).toArray.map(_.asInstanceOf[Path])
+      .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.getFileName.toString)
+    val base = System.currentTimeMillis() - parts.length * 2000L
+    parts.zipWithIndex.foreach { case (p, i) =>
+      p.toFile.setLastModified(base + i * 2000L)
+    }
+    stage
+  }
+
+  /** Replay a staged dir through `op` one file per micro-batch, collect the
+    * append-mode output in a memory sink, return it as a DataFrame. */
+  private def replay(
+      spark: SparkSession,
+      stage: Path,
+      op: DataFrame => DataFrame
+  ): DataFrame = {
+    val schema = spark.read.parquet(stage.toString).schema
+    val source = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+    val sinkName = "graft_stream_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt_")
+    val q = op(source).writeStream
+      .format("memory").queryName(sinkName)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
+  /** `q_stream_dedup`: exact streaming dedup over the documents table.
+    * Event time is synthesized deterministically from doc_id (2020-01-01 +
+    * doc_id µs); the horizon is far larger than the corpus span, so state
+    * never evicts and the survivor set is exactly one row per distinct
+    * text. Output: (content_hash, n_chars) — constant within a duplicate
+    * group, hence order-independent. */
+  def dedupOverDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("ts", timestamp_micros(lit(1577836800000000L) + col("doc_id")))
+    val stage = stageRanges(docs, "ts", 4)
+    replay(spark, stage, s =>
+      StreamDedup.exact(s, tsCol = "ts", watermarkDelay = "3650 days")
+        .select(col("content_hash"), length(col("text")).cast("long").as("n_chars")))
+  }
+
+  /** `q_stream_ses`: streaming gap-sessionization over the events table
+    * (entity = user_id, 1-hour gap), replayed in event-time order; output
+    * (entity, ts, session_id) equals the batch gap rule row-for-row. */
+  def sessionizeOverEvents(
+      spark: SparkSession, sfDir: String, gapSeconds: Double = 3600.0): DataFrame = {
+    // testdata ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP (LTZ).
+    // Session TZ is UTC, so NTZ->LTZ->NTZ is value-identity both ways.
+    val pts = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id").cast("string").as("entity"), col("ts").cast("timestamp").as("ts"))
+    val stage = stageRanges(pts, "ts", 4)
+    replay(spark, stage, s => StreamSessionize.byGap(s, gapSeconds).toDF())
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+  }
+}
