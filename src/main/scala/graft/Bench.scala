@@ -124,38 +124,46 @@ object Bench {
         if (cur == prev) stable += 1 else { stable = 0; prev = cur }
       }
     }
-    /** One timed leg: (wall s, task-time s, gc s) — task-time is summed
-      * executorRunTime across the leg's stages, the contention-robust
-      * denominator BENCH.md tracks alongside wall (this VM's wall times
-      * swing up to 8x between identical reps; see BENCH.md §weather). */
-    def leg(run: () => Unit): (Double, Double, Double) = {
+    /** One timed leg: (wall s, task-time s, gc s, alu s, membw s) —
+      * task-time is summed executorRunTime across the leg's stages, the
+      * contention-robust denominator BENCH.md tracks alongside wall; alu /
+      * membw are the host-weather probes run IMMEDIATELY after the rep, so
+      * each measurement carries its own weather sample (this VM's wall
+      * times swing up to 14x between identical reps in one JVM — r2
+      * postmortem measured [61.3, 95.0, 6.9] s back-to-back). */
+    def leg(run: () => Unit): (Double, Double, Double, Double, Double, Double, Double) = {
       drainListeners()
       val r0 = taskRun.get(); val g0 = taskGc.get()
       val t0 = System.nanoTime()
       run()
       val wall = (System.nanoTime() - t0) / 1e9
       drainListeners()
-      (wall, (taskRun.get() - r0) / 1e3, (taskGc.get() - g0) / 1e3)
+      (wall, (taskRun.get() - r0) / 1e3, (taskGc.get() - g0) / 1e3,
+        Controls.aluControl(cpus.toInt), Controls.membwControl(cpus.toInt),
+        Controls.chaseControl(cpus.toInt), Controls.diskControl())
     }
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
     def jarr(xs: Seq[Double]): String = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
 
     val writeFlag = () => flagshipOut.write.mode("overwrite").format("noop").save()
-    val (flagshipSec, flagReps, flagTask, flagGc, shufWriteRun, shufReadRun) =
+    val (flagshipSec, flagLegs, shufWriteRun, shufReadRun) =
       if (paths("window")) {
         leg(writeFlag) // warmup
         shufWrite.set(0L); shufRead.set(0L)
         val rs = (1 to reps).map(_ => leg(writeFlag))
-        (median(rs.map(_._1)), rs.map(_._1), median(rs.map(_._2)), median(rs.map(_._3)),
+        (median(rs.map(_._1)), rs,
           shufWrite.get() / math.max(reps, 1), shufRead.get() / math.max(reps, 1))
-      } else (0.0, Seq.empty[Double], 0.0, 0.0, 0L, 0L)
+      } else (0.0, Seq.empty[(Double, Double, Double, Double, Double, Double, Double)], 0L, 0L)
+    val flagReps = flagLegs.map(_._1)
+    val flagTask = if (flagLegs.nonEmpty) median(flagLegs.map(_._2)) else 0.0
+    val flagGc = if (flagLegs.nonEmpty) median(flagLegs.map(_._3)) else 0.0
     val tps = if (flagshipSec > 0) tokens / flagshipSec else 0.0
     // task-second throughput: tokens / summed-executor-busy-seconds — the
     // number that survives host contention (wall = taskSec / effective cores)
     val tpts = if (flagTask > 0) tokens / flagTask else 0.0
 
     // --- grouped (shuffle-free) flagship: typed per-doc kernel ---
-    val (groupedSec, grpReps, grpTask, grpGc, gShufWrite) = if (paths("grouped")) {
+    val (groupedSec, grpLegs, gShufWrite) = if (paths("grouped")) {
       val groupedOut = graft.features.TokenKernel
         .docVectors(spark.read.parquet(corpusPath), stepSec = 1L, gapSeconds = 1.5)
       val writeGrp = () => groupedOut.write.mode("overwrite").format("noop").save()
@@ -163,25 +171,27 @@ object Bench {
       shufWrite.set(0L)
       val rs = (1 to reps).map(_ => leg(writeGrp))
       // shuffle bytes must stay 0 — a shuffle regression in the grouped plan shows here
-      (median(rs.map(_._1)), rs.map(_._1), median(rs.map(_._2)), median(rs.map(_._3)),
-        shufWrite.get() / math.max(reps, 1))
-    } else (0.0, Seq.empty[Double], 0.0, 0.0, 0L)
+      (median(rs.map(_._1)), rs, shufWrite.get() / math.max(reps, 1))
+    } else (0.0, Seq.empty[(Double, Double, Double, Double, Double, Double, Double)], 0L)
+    val grpReps = grpLegs.map(_._1)
+    val grpTask = if (grpLegs.nonEmpty) median(grpLegs.map(_._2)) else 0.0
+    val grpGc = if (grpLegs.nonEmpty) median(grpLegs.map(_._3)) else 0.0
     val gTps = if (groupedSec > 0) tokens / groupedSec else 0.0
     val gTpts = if (grpTask > 0) tokens / grpTask else 0.0
 
-    // --- host-weather controls: fixed pure-JVM work, no Spark ---
-    // (measured AFTER the legs so they sample the same weather window;
-    // alu = register-resident xorshift, membw = streaming sum over a
-    // 512 MiB shared array — a slow membw with a normal alu is the
-    // memory-bandwidth-contention signature this VM exhibits)
-    val aluSec = Controls.aluControl(cpus.toInt)
-    val membwSec = Controls.membwControl(cpus.toInt)
+    // host-weather probes (alu = register-resident xorshift, membw =
+    // streaming sum over a 512 MiB shared array): one sample directly
+    // after EVERY rep (arrays below) so each measurement carries its own
+    // weather; the scalars are the medians across all sampled legs
+    val allLegs = flagLegs ++ grpLegs
+    val aluSec = if (allLegs.nonEmpty) median(allLegs.map(_._4)) else 0.0
+    val membwSec = if (allLegs.nonEmpty) median(allLegs.map(_._5)) else 0.0
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + flagshipSec
     val totalS = f"$total%.3f"
     println(
-      s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"tokens":$tokens,"flagship_sec":${f"$flagshipSec%.3f"},"tokens_per_sec":${tps.toLong},"flagship_reps_sec":${jarr(flagReps)},"flagship_task_sec":${f"$flagTask%.3f"},"flagship_gc_sec":${f"$flagGc%.3f"},"tokens_per_task_sec":${tpts.toLong},"grouped_sec":${f"$groupedSec%.3f"},"grouped_tokens_per_sec":${gTps.toLong},"grouped_reps_sec":${jarr(grpReps)},"grouped_task_sec":${f"$grpTask%.3f"},"grouped_gc_sec":${f"$grpGc%.3f"},"grouped_tokens_per_task_sec":${gTpts.toLong},"alu_control_sec":${f"$aluSec%.3f"},"membw_control_sec":${f"$membwSec%.3f"},"window_buffer":$windowBuffer,"shuffle_write_bytes":$shufWriteRun,"shuffle_read_bytes":$shufReadRun,"grouped_shuffle_write_bytes":$gShufWrite,"shuffle_partitions":$shufflePartitions,"input_partitions":256}"""
+      s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"tokens":$tokens,"flagship_sec":${f"$flagshipSec%.3f"},"tokens_per_sec":${tps.toLong},"flagship_reps_sec":${jarr(flagReps)},"flagship_rep_task_sec":${jarr(flagLegs.map(_._2))},"flagship_rep_alu_sec":${jarr(flagLegs.map(_._4))},"flagship_rep_membw_sec":${jarr(flagLegs.map(_._5))},"flagship_rep_chase_sec":${jarr(flagLegs.map(_._6))},"flagship_rep_disk_sec":${jarr(flagLegs.map(_._7))},"flagship_task_sec":${f"$flagTask%.3f"},"flagship_gc_sec":${f"$flagGc%.3f"},"tokens_per_task_sec":${tpts.toLong},"grouped_sec":${f"$groupedSec%.3f"},"grouped_tokens_per_sec":${gTps.toLong},"grouped_reps_sec":${jarr(grpReps)},"grouped_task_sec":${f"$grpTask%.3f"},"grouped_gc_sec":${f"$grpGc%.3f"},"grouped_tokens_per_task_sec":${gTpts.toLong},"alu_control_sec":${f"$aluSec%.3f"},"membw_control_sec":${f"$membwSec%.3f"},"window_buffer":$windowBuffer,"shuffle_write_bytes":$shufWriteRun,"shuffle_read_bytes":$shufReadRun,"grouped_shuffle_write_bytes":$gShufWrite,"shuffle_partitions":$shufflePartitions,"input_partitions":256}"""
     )
     spark.stop()
   }

@@ -59,4 +59,59 @@ object Controls {
     }
     (System.nanoTime() - t0) / 1e9
   }
+
+  /** Wall seconds for `threads` concurrent pointer-chase walks (4 M steps
+    * each) over one shared 256 MiB random-cycle array — DRAM/LLC LATENCY
+    * under load, the access pattern of the sort/UnsafeRow-heavy window
+    * stage (sequential-bandwidth and ALU probes measured healthy next to
+    * 7x-degraded window legs; this is the probe that should move if the
+    * host contends on memory latency). */
+  def chaseControl(threads: Int): Double = {
+    val n = 32 * 1024 * 1024 // ints = 256 MiB working set as a cycle
+    val next = new Array[Int](n)
+    // Sattolo's algorithm with a fixed xorshift stream: one full cycle
+    var i = 0
+    while (i < n) { next(i) = i; i += 1 }
+    var x = 0x9E3779B97F4A7C15L
+    i = n - 1
+    while (i > 0) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      val j = ((x & Long.MaxValue) % i).toInt // 0 <= j < i: stays one cycle
+      val t = next(i); next(i) = next(j); next(j) = t
+      i -= 1
+    }
+    val t0 = System.nanoTime()
+    parallel(threads) { tid =>
+      var p = (tid * 2654435761L % n).toInt
+      if (p < 0) p += n
+      var s = 0L
+      var k = 0
+      while (k < (1 << 22)) { p = next(p); s += p; k += 1 }
+      s
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Wall seconds to write 128 MiB to the shuffle-local tmp dir, fsync,
+    * read it back, delete — the disk-weather probe (shuffle write/read
+    * stalls land in executorRunTime and would mimic a slow window stage). */
+  def diskControl(): Double = {
+    val f = java.io.File.createTempFile("graft_diskprobe_", ".bin")
+    val buf = new Array[Byte](1 << 20)
+    java.util.Arrays.fill(buf, 0x5A.toByte)
+    val t0 = System.nanoTime()
+    val out = new java.io.FileOutputStream(f)
+    var i = 0
+    while (i < 128) { out.write(buf); i += 1 }
+    out.getFD.sync()
+    out.close()
+    val in = new java.io.FileInputStream(f)
+    var s = 0L
+    var r = in.read(buf)
+    while (r > 0) { s += buf(0); r = in.read(buf) }
+    in.close()
+    sink ^= s
+    f.delete()
+    (System.nanoTime() - t0) / 1e9
+  }
 }

@@ -128,6 +128,12 @@ object DocQueries {
         Dedup.minhashLshPairs(d, k = 3, numHashes = 16, bands = 4, estThreshold = 0.25), d)
     }),
 
+    // span-level decontamination: the token positions at which corpus docs
+    // match benchmark shingles (the scrub-stage view of q_dedup_decontam)
+    "q_dedup_decontam_spans" -> ((sp, dir) => {
+      val d = docs(sp, dir)
+      Dedup.contaminationSpans(d.where(col("doc_id") >= 20), d.where(col("doc_id") < 20), k = 3)
+    }),
     // benchmark decontamination: docs (id ≥ 20) sharing any 3-shingle with
     // the pretend eval set (id < 20)
     "q_dedup_decontam" -> ((sp, dir) => {
@@ -372,6 +378,18 @@ object DocQueries {
            |inv AS (SELECT doc_id, unnest(sh) AS x FROM s WHERE doc_id >= 20)
            |SELECT inv.doc_id, count(*) AS n_hits
            |FROM inv JOIN bench USING (x) GROUP BY inv.doc_id""".stripMargin,
+      "q_dedup_decontam_spans" ->
+        s"""WITH t AS (SELECT doc_id, $sqlWordHashes AS wh FROM documents),
+           |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+           |bench AS (SELECT DISTINCT unnest(sh) AS x FROM s WHERE doc_id < 20),
+           |pos AS (
+           |  SELECT doc_id, cast(i - 1 AS INT) AS tok_pos,
+           |    (((wh[i] * 31 + wh[i+1]) % $P) * 31 + wh[i+2]) % $P AS x
+           |  FROM t, unnest(generate_series(1, len(wh) - 2)) AS g(i)
+           |  WHERE doc_id >= 20
+           |)
+           |SELECT pos.doc_id, pos.tok_pos, pos.x AS sh
+           |FROM pos JOIN bench USING (x)""".stripMargin,
       "q_dedup_exact" ->
         """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents)
           |SELECT content_hash, doc_id,

@@ -130,9 +130,19 @@ object Explain {
     check("neardup: no CartesianProduct")(!nearDupPlan.contains("CartesianProduct"))
     check("neardup: no BroadcastNestedLoopJoin")(!nearDupPlan.contains("BroadcastNestedLoop"))
 
+    // --- exact dedup: ONE exchange (window min over content_hash) ---
+    val exactPlan = graft.dedup.Dedup.exact(
+      spark.read.parquet(s"$sfDir/documents.parquet")).queryExecution.executedPlan.toString
+    println("=== exact dedup (single-shuffle keeper) ===")
+    check("exact dedup: exactly one exchange")(
+      "Exchange".r.findAllIn(exactPlan).length == 1)
+    check("exact dedup: no join")(!exactPlan.contains("Join"))
+
     // --- simhash pair search: pigeonhole bands — no all-pairs shapes ---
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val shp = graft.dedup.Dedup.simhashHammingPairs(docs, maxHamming = 3)
+    // eager=false: audit the REAL banded-join plan, not the materialized
+    // checkpoint scan the eager default returns
+    val shp = graft.dedup.Dedup.simhashHammingPairs(docs, maxHamming = 3, eager = false)
     val shpPlan = shp.queryExecution.executedPlan.toString
     println("=== simhash hamming pairs (banded equality join) ===")
     check("simhash pairs: no CartesianProduct")(!shpPlan.contains("CartesianProduct"))

@@ -93,8 +93,37 @@ object Similarity {
   def lshBuckets(df: DataFrame, planes: Int = 8, id: String = "vec_id", vec: String = "embedding"): DataFrame =
     df.withColumn("bucket", lshBucket(col(vec), planes))
 
-  /** Approximate top-k: candidates only from same-bucket collisions (plus
-    * the query's own bucket), exact cosine re-rank inside buckets. */
+  /** Per-plane projection sum of `vec` onto portable hyperplane `p` — the
+    * signed quantity whose sign is bucket bit p ([[lshBucketHof]] inlines
+    * the same arithmetic). Used on the QUERY side only (broadcast-sized),
+    * where the interpreted HOF cost is irrelevant. */
+  private def lshPlaneSum(vec: Column, p: Int): Column = {
+    val P = graft.functions.TextHash.P
+    val a = lit(506952114L * (2 * p + 1) % P)
+    val b = lit((40503L * (p + 1)) % P)
+    aggregate(
+      zip_with(vec, sequence(lit(1), size(vec)), (x, i) => {
+        val h = (i.cast("long") * 506952114L % P * a % P + b) % P
+        x.cast("double") * (h.cast("double") / 2147483647.0 - 0.5)
+      }),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+  }
+
+  /** Approximate top-k: candidates from same-bucket collisions, exact
+    * cosine re-rank inside buckets.
+    *
+    * `nProbe > 1` is MULTI-PROBE (the knob an ANN user reaches for first:
+    * recall at fixed planes): each query also probes the Hamming-1
+    * neighbor buckets of its `nProbe − 1` LOWEST-MARGIN planes — margin =
+    * \|projection sum\|, so the flipped planes are exactly the ones the
+    * vector was least sure about (Lv et al.'s multi-probe ordering,
+    * truncated to single-bit flips). Cost: the broadcast query side grows
+    * ×nProbe (still dimension-sized); the corpus side is untouched — one
+    * scan, no shuffle, same broadcast-hash-join plan. Probe buckets are
+    * distinct, and a corpus row lives in exactly one bucket, so no pair
+    * dedup is needed. */
   def lshTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -102,10 +131,26 @@ object Similarity {
       planes: Int = 8,
       queryId: String = "query_id",
       corpusId: String = "vec_id",
-      vec: String = "embedding"
+      vec: String = "embedding",
+      nProbe: Int = 1
   ): DataFrame = {
-    val q = lshBuckets(queries.select(col(queryId), col(vec).as("_qv")), planes, queryId, "_qv")
+    require(nProbe >= 1 && nProbe <= planes + 1,
+      s"nProbe must be in [1, planes + 1 = ${planes + 1}], got $nProbe")
+    val q0 = lshBuckets(queries.select(col(queryId), col(vec).as("_qv")), planes, queryId, "_qv")
       .select(col(queryId), col("_qv"), norm(col("_qv")).as("_qn"), col("bucket"))
+    val q =
+      if (nProbe == 1) q0
+      else {
+        // (|margin|, plane) ascending — the nProbe−1 least-certain planes
+        val margins = array_sort(array((0 until planes).map(p =>
+          struct(abs(lshPlaneSum(col("_qv"), p)).as("m"), lit(p).as("p"))): _*))
+        val masks = array((0 until planes).map(p => lit(1L << p)): _*)
+        val probes = concat(
+          array(col("bucket")),
+          transform(slice(margins, 1, nProbe - 1), f =>
+            col("bucket").bitwiseXOR(element_at(masks, f("p") + 1))))
+        q0.withColumn("bucket", explode(probes))
+      }
     val c = lshBuckets(corpus.select(col(corpusId), col(vec).as("_cv")), planes, corpusId, "_cv")
       .select(col(corpusId), col("_cv"), norm(col("_cv")).as("_cn"), col("bucket"))
     val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))

@@ -1,0 +1,61 @@
+package graft.dedup
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.slf4j.LoggerFactory
+
+/** Runtime signal for the approximate-by-default caps (ADVICE r2): the
+  * df-cap in [[Dedup.ngramJaccardPairs]] and the hot-bucket valve in the
+  * banded joins silently reduce recall when they bind — callers got no
+  * signal short of manually running the audit views. Every capped operator
+  * now attaches a zero-cost `observe` metric counting the rows its cap
+  * dropped, and a once-per-session listener logs a WARN (with the audit
+  * view to run) whenever a completed action observed nonzero drops.
+  *
+  * Zero-cost: `CollectMetrics` accumulates during the action that was
+  * already running — no extra job, no extra shuffle, fully codegen-
+  * compatible. Cluster runs surface the same metric in the Spark UI /
+  * listener bus, which is exactly the channel a 1000-executor pipeline
+  * monitors. */
+private[graft] object CapAudit {
+
+  private val log = LoggerFactory.getLogger(getClass)
+  private val Prefix = "graft_cap_"
+  private val seq = new AtomicLong(0L)
+  private val installed = ConcurrentHashMap.newKeySet[String]()
+
+  /** Wrap `df` with a drop-counting observation. `droppedRow` must be 1
+    * for a row the cap will drop, 0 otherwise; `what` names the operator
+    * and `audit` the view that explains the drops. */
+  def observeDrops(df: DataFrame, droppedRow: Column, what: String, audit: String): DataFrame = {
+    install(df)
+    df.observe(
+      s"$Prefix${what}_${seq.incrementAndGet()}",
+      sum(droppedRow).cast("long").as("dropped_rows"),
+      lit(audit).as("audit"))
+  }
+
+  private def install(df: DataFrame): Unit = {
+    val spark = df.sparkSession
+    if (installed.add(System.identityHashCode(spark).toString)) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith(Prefix)) {
+              val dropped = Option(row.getAs[Any]("dropped_rows")).fold(0L)(_.toString.toLong)
+              if (dropped > 0L)
+                log.warn(
+                  s"[graft] cap '$name' dropped $dropped rows before the candidate join — " +
+                    s"recall is reduced; audit with ${row.getAs[String]("audit")} or raise the cap")
+            }
+          }
+        override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+      })
+    }
+  }
+}

@@ -19,14 +19,16 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup on content hash; keeps the smallest id per group and
-    * flags the rest. Output: (id, content_hash, keep). */
+    * flags the rest. Output: (id, content_hash, keep).
+    *
+    * One shuffle: `min(id) over (partition by content_hash)` — the
+    * groupBy+join formulation computed the same keeper set with a second
+    * exchange (same output, one more corpus-wide shuffle at 100 TB). */
   def exact(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
-    val hashed = df.select(col(id), md5(col(text)).as("content_hash"))
-    val keeper = hashed.groupBy(col("content_hash")).agg(min(col(id)).as("_keep_id"))
-    hashed
-      .join(keeper, Seq("content_hash"))
-      .withColumn("keep", col(id) === col("_keep_id"))
-      .drop("_keep_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))
+    df.select(col(id), md5(col(text)).as("content_hash"))
+      .withColumn("keep", col(id) === min(col(id)).over(w))
+      .select(col("content_hash"), col(id), col("keep"))
   }
 
   /** Per-doc distinct k-word shingle hash set. */
@@ -79,7 +81,12 @@ object Dedup {
     val inv =
       if (maxDf == Int.MaxValue) inv0
       else {
-        val dfCounts = inv0.groupBy(col("sh")).agg(count(lit(1)).as("_df")).where(col("_df") <= maxDf)
+        val dfCounts = CapAudit
+          .observeDrops(
+            inv0.groupBy(col("sh")).agg(count(lit(1)).as("_df")),
+            when(col("_df") > maxDf, col("_df")).otherwise(0L),
+            "jaccard_df_cap", "Dedup.hotShingles (raise maxDf for exact semantics)")
+          .where(col("_df") <= maxDf)
         val kept = inv0.join(dfCounts.select(col("sh")), Seq("sh"))
         // surviving-set sizes: the Jaccard denominator must count the same
         // universe as the intersection (one narrow count over the kept index)
@@ -123,6 +130,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Span-level decontamination: the TOKEN positions (0-based start of each
+    * k-token shingle) at which a corpus doc matches a benchmark shingle —
+    * what a scrubbing stage needs to EXCISE contaminated spans instead of
+    * dropping whole documents. Same 100-TB shape as [[contaminatedDocs]]:
+    * benchmark shingle set broadcast, corpus scanned once, zero corpus
+    * shuffle (the output is a filter+posexplode of the scan). Run it on the
+    * [[contaminatedDocs]]-flagged slice, not the full corpus — positions
+    * come from the non-distinct positioned shingle array, whose HOF cost is
+    * fine on an audit slice. Output: (id, tok_pos, sh). */
+  def contaminationSpans(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      k: Int = 3,
+      id: String = "doc_id",
+      text: String = "text"
+  ): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(TextHash.shingleHashes(TextHash.tokenHashes(col(text)), k)).as("sh"))
+      .distinct()
+    val positioned = corpus.select(
+      col(id),
+      posexplode(TextHash.positionedShingleHashes(TextHash.tokenHashes(col(text)), k))
+        .as(Seq("tok_pos", "sh")))
+    positioned.join(broadcast(benchShingles), Seq("sh"))
+      .select(col(id), col("tok_pos"), col("sh"))
+  }
+
   /** MinHash signatures (numHashes affine permutations over the shingle
     * set). Output: (id, sig array<long>). */
   def minhashSignatures(
@@ -158,19 +192,25 @@ object Dedup {
       df: DataFrame, idCol: Column, bandBuckets: Column,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val banded0 = df.select(idCol.as("_id"), posexplode(bandBuckets).as(Seq("_band", "_bb")))
-    val banded =
-      if (maxBucket == Int.MaxValue) banded0
-      else
+    val (bandedA, bandedB) =
+      if (maxBucket == Int.MaxValue) (banded0, banded0)
+      else {
         // window count on the SAME (band, bucket) clustering the self-join
         // shuffles on — one exchange, no second evaluation of the (possibly
         // expensive) bucket lineage for a separate aggregate+join
-        banded0
-          .withColumn("_sz", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("_band"), col("_bb"))))
-          .where(col("_sz") <= maxBucket)
-          .drop("_sz")
-    banded.select(col("_id").as("id_a"), col("_band"), col("_bb"))
-      .join(banded.select(col("_id").as("id_b"), col("_band"), col("_bb")), Seq("_band", "_bb"))
+        val counted = banded0.withColumn("_sz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("_band"), col("_bb"))))
+        val kept = counted.where(col("_sz") <= maxBucket).drop("_sz")
+        // observe the valve on ONE side only (observation names must be
+        // unique per query; side a sees every dropped row exactly once)
+        val keptA = CapAudit
+          .observeDrops(counted, when(col("_sz") > maxBucket, 1L).otherwise(0L),
+            "banded_bucket_valve", "Dedup-band bucket sizes (raise maxBucket or re-band)")
+          .where(col("_sz") <= maxBucket).drop("_sz")
+        (keptA, kept)
+      }
+    bandedA.select(col("_id").as("id_a"), col("_band"), col("_bb"))
+      .join(bandedB.select(col("_id").as("id_b"), col("_band"), col("_bb")), Seq("_band", "_bb"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
@@ -181,6 +221,24 @@ object Dedup {
     * similarity estimate = fraction of matching signature positions.
     * At cluster scale the band explode keys the ONE shuffle; no cross join
     * ever materializes. */
+  /** Eager-consume helper for the banded operators' signature caches: the
+    * signature frame appears three times in the pair plan (band explode +
+    * both re-rank joins), so it is persisted — but a lazily returned frame
+    * would pin that cache for its whole lifetime (a 10⁹-row signature table
+    * must not sit in executor storage after the pairs are computed). With
+    * `eager = true` (default) the SMALL pair result is materialized via an
+    * eager local checkpoint and the signature cache is released before
+    * returning — no cached signature RDD survives the call (asserted in
+    * DedupCacheSpec). `eager = false` returns the lazy plan for callers
+    * that need lineage-based fault recovery (local checkpoints trade that
+    * away) — those callers own eviction of `cached`. */
+  private def consumeEagerly(out: DataFrame, cached: DataFrame, eager: Boolean): DataFrame =
+    if (eager) {
+      val mat = out.localCheckpoint(true)
+      cached.unpersist(false)
+      mat
+    } else out
+
   def minhashLshPairs(
       df: DataFrame,
       k: Int = 3,
@@ -189,13 +247,15 @@ object Dedup {
       estThreshold: Double = 0.5,
       id: String = "doc_id",
       text: String = "text",
-      maxBucket: Int = DefaultMaxBucket
+      maxBucket: Int = DefaultMaxBucket,
+      eager: Boolean = true
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = minhashSignatures(df, k, numHashes, id, text).cache()
+    val sigs = minhashSignatures(df, k, numHashes, id, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandBuckets = transform(sequence(lit(0), lit(bands - 1)), b => slice(col("sig"), b * r + 1, lit(r)))
-    bandedCandidates(sigs, col(id), bandBuckets, maxBucket)
+    val out = bandedCandidates(sigs, col(id), bandBuckets, maxBucket)
       .join(sigs.select(col(id).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col(id).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn(
@@ -205,6 +265,7 @@ object Dedup {
       )
       .where(col("est_jaccard") >= estThreshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    consumeEagerly(out, sigs, eager)
   }
 
   /** 62-bit SimHash fingerprint: token t contributes ±1 to each bit b
@@ -265,20 +326,23 @@ object Dedup {
       maxHamming: Int = 3,
       id: String = "doc_id",
       text: String = "text",
-      maxBucket: Int = DefaultMaxBucket
+      maxBucket: Int = DefaultMaxBucket,
+      eager: Boolean = true
   ): DataFrame = {
     require(maxHamming >= 0, "maxHamming must be non-negative")
     val bands = maxHamming + 1
-    val sh = simhash(df, id, text).cache()
+    val sh = simhash(df, id, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandBuckets = array(bandLayout(TextHash.simhashBits, bands).map { case (off, bits) =>
       shiftright(col("simhash"), off).bitwiseAND((1L << bits) - 1)
     }: _*)
-    bandedCandidates(sh, col(id), bandBuckets, maxBucket)
+    val out = bandedCandidates(sh, col(id), bandBuckets, maxBucket)
       .join(sh.select(col(id).as("id_a"), col("simhash").as("_sa")), Seq("id_a"))
       .join(sh.select(col(id).as("id_b"), col("simhash").as("_sb")), Seq("id_b"))
       .withColumn("hamming", bit_count(col("_sa").bitwiseXOR(col("_sb"))))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+    consumeEagerly(out, sh, eager)
   }
 
   /** (id, label) table → the (id, cluster_id, keep) output contract, shared

@@ -46,16 +46,31 @@ object Contextual {
     * multiplication hazard, early exit on the first hit. Null-field layer
     * rows keep the declarative three-valued-OR semantics (no hit + a null
     * term ⇒ null ⇒ coalesced false, like the unmatched semi-join rows). */
+  /** Hard cap on the collected surrounding layer: the kernel loops the
+    * layer per point, so a layer this size is already ~5 ms/point — beyond
+    * it the operator is being misused (an oversized layer would otherwise
+    * silently OOM the driver and bloat every task closure; fail loudly
+    * instead, like the broadcast limit the old join path hit). */
+  val MaxPoiLayerRows: Int = 1 << 20
+
   def visitedPoi(
       df: DataFrame,
       s: TrajSchema,
       surrounding: DataFrame,
       distColumn: String,
-      thresholdM: Double
+      thresholdM: Double,
+      maxLayerRows: Int = MaxPoiLayerRows
   ): DataFrame = {
+    // limit() bounds the driver haul BEFORE the require — an over-limit
+    // layer fails with this message, never with a driver OOM
     val layer = surrounding
       .select(col(s.lat).cast("double"), col(s.lon).cast("double"), col(distColumn).cast("double"))
+      .limit(maxLayerRows + 1)
       .collect()
+    require(layer.length <= maxLayerRows,
+      s"visitedPoi surrounding layer exceeds $maxLayerRows rows — the layer is " +
+        "dimension-sized by contract (reference holds it in memory); pre-aggregate it " +
+        "or raise maxLayerRows explicitly")
     val valid = layer.filter(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
     val expr = graft.kernels.NearPoiExpr(
       org.apache.spark.sql.GraftSqlBridge.expression(s.latCol.cast("double")),

@@ -49,6 +49,21 @@ object TextHash {
   def shingleHashes(tokenHashes: Column, k: Int): Column =
     kcol(ShingleHashesExpr(kexp(tokenHashes), k))
 
+  /** POSITIONED (non-distinct) k-shingle hashes: element i is the shingle
+    * starting at token i (0-based after posexplode). Used by span-level
+    * decontamination, where the position is the payload — the distinct
+    * kernel can't serve it. HOF formulation (O(n·k) interpreted): span
+    * reporting is an audit/scrub pass over the already-flagged slice of
+    * the corpus, not the broad-scan hot path. */
+  def positionedShingleHashes(tokenHashes: Column, k: Int): Column = {
+    val n = size(tokenHashes)
+    val win = n - (k - 1)
+    val combined = (1 until k).foldLeft(slice(tokenHashes, lit(1), win)) { (acc, j) =>
+      zip_with(acc, slice(tokenHashes, lit(j + 1), win), (a, b) => (a * 31L + b) % P)
+    }
+    when(n >= k, combined).otherwise(array().cast("array<bigint>"))
+  }
+
   /** HOF formulation of [[shingleHashes]] (parity reference): O(n·k) per
     * row via k shifted zip_with views. */
   def shingleHashesHof(tokenHashes: Column, k: Int): Column = {

@@ -140,4 +140,25 @@ case class NearPoiExpr(
       newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
       newRight: org.apache.spark.sql.catalyst.expressions.Expression): NearPoiExpr =
     copy(lat = newLeft, lon = newRight)
+
+  // value equality over the layer arrays (case-class equality compares
+  // Array[Double] by reference, which would make two semantically identical
+  // expressions never compare equal — defeating subexpression elimination
+  // and plan canonicalization)
+  override def equals(o: Any): Boolean = o match {
+    case that: NearPoiExpr =>
+      lat == that.lat && lon == that.lon &&
+        thresholdM == that.thresholdM && hasNullRow == that.hasNullRow &&
+        java.util.Arrays.equals(slat, that.slat) &&
+        java.util.Arrays.equals(slon, that.slon) &&
+        java.util.Arrays.equals(sdist, that.sdist)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(lat, lon, java.lang.Double.valueOf(thresholdM),
+      java.lang.Boolean.valueOf(hasNullRow),
+      Integer.valueOf(java.util.Arrays.hashCode(slat)),
+      Integer.valueOf(java.util.Arrays.hashCode(slon)),
+      Integer.valueOf(java.util.Arrays.hashCode(sdist)))
 }
