@@ -157,6 +157,15 @@ object DocQueries {
         e, k = 5, planes = 6
       )
     }),
+    // multi-probe LSH: query bucket + the 2 lowest-margin Hamming-1
+    // neighbors (margins, sort, flips all mirrored exactly in SQL)
+    "q_sim_lsh_multiprobe" -> ((sp, dir) => {
+      val e = embs(sp, dir)
+      Similarity.lshTopK(
+        e.where(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
+        e, k = 5, planes = 8, nProbe = 3
+      )
+    }),
     // IVF path: portable seed hash + order-deterministic Lloyd folds ⇒ the
     // DuckDB oracle re-derives the centroids bit-for-bit (2 unrolled rounds)
     "q_sim_ivf_topk" -> ((sp, dir) => {
@@ -460,6 +469,29 @@ object DocQueries {
            |  FROM scored
            |)
            |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
+      "q_sim_lsh_multiprobe" -> {
+        val planes = 8
+        val margins = (0 until planes)
+          .map(p => s"{'m': abs(${sqlLshPlaneSum("embedding", p)}), 'p': $p}")
+          .mkString("[", ", ", "]")
+        s"""WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv,
+           |             ${sqlLshBucket("embedding", planes)} AS bucket,
+           |             list_sort($margins) AS ms
+           |           FROM embeddings WHERE vec_id < 8),
+           |q AS (SELECT query_id, qv,
+           |        unnest([bucket, xor(bucket, 1::BIGINT << ms[1].p), xor(bucket, 1::BIGINT << ms[2].p)]) AS bucket
+           |      FROM q0),
+           |c AS (SELECT vec_id, embedding AS cv, ${sqlLshBucket("embedding", planes)} AS bucket FROM embeddings),
+           |scored AS (
+           |  SELECT q.query_id, c.vec_id,
+           |    round(${sqlDot("qv", "cv")} / (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("cv", "cv")})), 6) + 0.0 AS cosine
+           |  FROM c JOIN q USING (bucket) WHERE q.query_id != c.vec_id
+           |), ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM scored
+           |)
+           |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
+      },
       "q_dedup_simhash_pairs" -> {
         // pigeonhole bands over 62 bits — generated from the SAME
         // Dedup.bandLayout the Spark operator uses, so offsets/widths can

@@ -40,19 +40,40 @@ private[graft] object CapAudit {
       lit(audit).as("audit"))
   }
 
+  /** Collect executed `CollectMetricsExec` rows, descending through AQE
+    * wrappers — Spark 4.1's `qe.observedMetrics` does NOT surface metrics
+    * that ended up inside adaptive query stages, so the listener walks the
+    * final stage tree itself. Known blind spot: if AQE collapses the whole
+    * query to an empty relation (all candidates dropped AND no survivors),
+    * the observed subtree is cut before it runs and no signal fires — the
+    * audit views ([[Dedup.hotShingles]], bucket sizes) remain the ground
+    * truth for that degenerate case. */
+  private[graft] def collectMetricRows(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[(String, org.apache.spark.sql.Row)] =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectMetricRows(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectMetricRows(q.plan)
+      case c: org.apache.spark.sql.execution.CollectMetricsExec =>
+        (c.name, c.collectedMetrics) +: c.children.flatMap(collectMetricRows)
+      case o => o.children.flatMap(collectMetricRows)
+    }
+
   private def install(df: DataFrame): Unit = {
     val spark = df.sparkSession
     if (installed.add(System.identityHashCode(spark).toString)) {
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-          qe.observedMetrics.foreach { case (name, row) =>
-            if (name.startsWith(Prefix)) {
-              val dropped = Option(row.getAs[Any]("dropped_rows")).fold(0L)(_.toString.toLong)
-              if (dropped > 0L)
-                log.warn(
-                  s"[graft] cap '$name' dropped $dropped rows before the candidate join — " +
-                    s"recall is reduced; audit with ${row.getAs[String]("audit")} or raise the cap")
-            }
+          (qe.observedMetrics.toSeq ++ collectMetricRows(qe.executedPlan)).foreach {
+            case (name, row) =>
+              if (name.startsWith(Prefix)) {
+                val dropped = Option(row.getAs[Any]("dropped_rows")).fold(0L)(_.toString.toLong)
+                if (dropped > 0L)
+                  log.warn(
+                    s"[graft] cap '$name' dropped $dropped rows before the candidate join — " +
+                      s"recall is reduced; audit with ${row.getAs[String]("audit")} or raise the cap")
+              }
           }
         override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
       })

@@ -226,15 +226,17 @@ object Dedup {
     * both re-rank joins), so it is persisted — but a lazily returned frame
     * would pin that cache for its whole lifetime (a 10⁹-row signature table
     * must not sit in executor storage after the pairs are computed). With
-    * `eager = true` (default) the SMALL pair result is materialized via an
-    * eager local checkpoint and the signature cache is released before
-    * returning — no cached signature RDD survives the call (asserted in
-    * DedupCacheSpec). `eager = false` returns the lazy plan for callers
-    * that need lineage-based fault recovery (local checkpoints trade that
-    * away) — those callers own eviction of `cached`. */
+    * `eager = true` (default) the SMALL pair result is persisted
+    * (MEMORY_AND_DISK) and materialized with a Dataset action — which also
+    * fires the [[CapAudit]] observed metrics — and the signature cache is
+    * released before returning: the only persisted blocks that survive are
+    * the pair result itself (asserted in DedupCacheSpec; callers may
+    * `unpersist()` the returned frame when done). `eager = false` returns
+    * the fully lazy plan — those callers own eviction of `cached`. */
   private def consumeEagerly(out: DataFrame, cached: DataFrame, eager: Boolean): DataFrame =
     if (eager) {
-      val mat = out.localCheckpoint(true)
+      val mat = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      mat.count()
       cached.unpersist(false)
       mat
     } else out
