@@ -52,11 +52,19 @@ object StreamDrive {
   }
 
   /** Replay a staged dir through `op` one file per micro-batch, collect the
-    * append-mode output in a memory sink, return it as a DataFrame. */
+    * append-mode output in a memory sink, return it as a DataFrame.
+    *
+    * Stateful streaming operators shard their state stores by
+    * `spark.sql.shuffle.partitions`; a batch-tuned 128 would create 128
+    * store dirs x micro-batches of checkpoint traffic for a replay this
+    * size, so the conf is pinned to `statePartitions` for the run and
+    * restored after (results are partition-count independent: dedup keeps
+    * one row per hash, sessionize is deterministic per entity). */
   private def replay(
       spark: SparkSession,
       stage: Path,
-      op: DataFrame => DataFrame
+      op: DataFrame => DataFrame,
+      statePartitions: Int = 8
   ): DataFrame = {
     val schema = spark.read.parquet(stage.toString).schema
     val source = spark.readStream.schema(schema)
@@ -64,13 +72,17 @@ object StreamDrive {
       .parquet(stage.toString)
     val sinkName = "graft_stream_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = Files.createTempDirectory("graft_stream_ckpt_")
-    val q = op(source).writeStream
-      .format("memory").queryName(sinkName)
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = op(source).writeStream
+        .format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(sinkName)
   }
 
