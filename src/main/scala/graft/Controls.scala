@@ -44,12 +44,22 @@ object Controls {
     (System.nanoTime() - t0) / 1e9
   }
 
+  // probe working sets are built ONCE (untimed setup either way, but the
+  // per-call rebuild — a 512 MiB fill and a 32M-step Sattolo shuffle —
+  // would inject minutes of allocation/GC churn between the very reps the
+  // bench is measuring); contents are deterministic, so cached probes are
+  // byte-identical to rebuilt ones
+  private lazy val membwArr: Array[Long] = {
+    val arr = new Array[Long](64 * 1024 * 1024) // 512 MiB
+    java.util.Arrays.fill(arr, 0x0123456789ABCDEFL)
+    arr
+  }
+
   /** Wall seconds for `threads` full streaming passes over one shared
     * 512 MiB long array (total traffic = threads x 512 MiB reads). */
   def membwControl(threads: Int): Double = {
-    val n = 64 * 1024 * 1024 // longs = 512 MiB
-    val arr = new Array[Long](n)
-    java.util.Arrays.fill(arr, 0x0123456789ABCDEFL)
+    val arr = membwArr
+    val n = arr.length
     val t0 = System.nanoTime()
     parallel(threads) { i =>
       var s = 0L
@@ -66,7 +76,7 @@ object Controls {
     * stage (sequential-bandwidth and ALU probes measured healthy next to
     * 7x-degraded window legs; this is the probe that should move if the
     * host contends on memory latency). */
-  def chaseControl(threads: Int): Double = {
+  private lazy val chaseCycle: Array[Int] = {
     val n = 32 * 1024 * 1024 // ints = 256 MiB working set as a cycle
     val next = new Array[Int](n)
     // Sattolo's algorithm with a fixed xorshift stream: one full cycle
@@ -80,6 +90,12 @@ object Controls {
       val t = next(i); next(i) = next(j); next(j) = t
       i -= 1
     }
+    next
+  }
+
+  def chaseControl(threads: Int): Double = {
+    val next = chaseCycle
+    val n = next.length
     val t0 = System.nanoTime()
     parallel(threads) { tid =>
       var p = (tid * 2654435761L % n).toInt

@@ -1,6 +1,5 @@
 package graft.dedup
 
-import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{Column, DataFrame}
@@ -27,7 +26,12 @@ private[graft] object CapAudit {
   private val log = LoggerFactory.getLogger(getClass)
   private val Prefix = "graft_cap_"
   private val seq = new AtomicLong(0L)
-  private val installed = ConcurrentHashMap.newKeySet[String]()
+  // weak identity set: a stopped-and-GC'd session must not block a later
+  // session from getting its listener (identityHashCode can collide), and
+  // the set must not pin sessions for the JVM lifetime
+  private val installed = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
 
   /** Wrap `df` with a drop-counting observation. `droppedRow` must be 1
     * for a row the cap will drop, 0 otherwise; `what` names the operator
@@ -62,10 +66,13 @@ private[graft] object CapAudit {
 
   private def install(df: DataFrame): Unit = {
     val spark = df.sparkSession
-    if (installed.add(System.identityHashCode(spark).toString)) {
+    if (installed.add(spark)) {
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-          (qe.observedMetrics.toSeq ++ collectMetricRows(qe.executedPlan)).foreach {
+          // distinct by metric name: a non-AQE plan reports through BOTH
+          // channels and must warn once, not twice
+          (qe.observedMetrics.toSeq ++ collectMetricRows(qe.executedPlan))
+            .distinctBy(_._1).foreach {
             case (name, row) =>
               if (name.startsWith(Prefix)) {
                 val dropped = Option(row.getAs[Any]("dropped_rows")).fold(0L)(_.toString.toLong)

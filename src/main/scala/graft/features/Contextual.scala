@@ -62,10 +62,13 @@ object Contextual {
       maxLayerRows: Int = MaxPoiLayerRows
   ): DataFrame = {
     // limit() bounds the driver haul BEFORE the require — an over-limit
-    // layer fails with this message, never with a driver OOM
+    // layer fails with this message, never with a driver OOM (the +1 is
+    // overflow-guarded so maxLayerRows = Int.MaxValue disables the cap
+    // like the sibling maxDf/maxBucket sentinels)
+    val probeLimit = math.min(maxLayerRows.toLong + 1, Int.MaxValue).toInt
     val layer = surrounding
       .select(col(s.lat).cast("double"), col(s.lon).cast("double"), col(distColumn).cast("double"))
-      .limit(maxLayerRows + 1)
+      .limit(probeLimit)
       .collect()
     require(layer.length <= maxLayerRows,
       s"visitedPoi surrounding layer exceeds $maxLayerRows rows — the layer is " +

@@ -174,6 +174,12 @@ class FilterRaiseSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no-such-entity"))
   }
+
+  test("F2 lazy variant filters without the existence probe") {
+    assert(Filters.byTrajIdLazy(fixture, S, "1").count() == 5)
+    // absent id: empty frame, no raise, no eager job at construction
+    assert(Filters.byTrajIdLazy(fixture, S, "no-such-entity").isEmpty)
+  }
 }
 
 class VisitedPoiPathsSpec extends SparkSpec {
