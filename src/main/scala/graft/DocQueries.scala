@@ -107,6 +107,9 @@ object DocQueries {
     "q_txt_pii" -> ((sp, dir) =>
       TextFeatures.withPiiCounts(docs(sp, dir))
         .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_digit_runs"))),
+    "q_txt_repetition" -> ((sp, dir) =>
+      TextFeatures.withRepetition(docs(sp, dir))
+        .select(col("doc_id"), col("dup_2gram_frac"), col("dup_3gram_frac"), col("top_2gram_frac"))),
 
     // ---- dedup ----
     "q_dedup_exact" -> ((sp, dir) => Dedup.exact(docs(sp, dir))),
@@ -387,6 +390,21 @@ object DocQueries {
            |inv AS (SELECT doc_id, unnest(sh) AS x FROM s WHERE doc_id >= 20)
            |SELECT inv.doc_id, count(*) AS n_hits
            |FROM inv JOIN bench USING (x) GROUP BY inv.doc_id""".stripMargin,
+      "q_txt_repetition" ->
+        s"""WITH t AS (SELECT doc_id, $sqlWordHashes AS wh FROM documents),
+           |u2 AS (SELECT doc_id, (wh[i] * 31 + wh[i+1]) % $P AS x
+           |       FROM t, unnest(generate_series(1, len(wh) - 1)) AS s2(i)),
+           |c2 AS (SELECT doc_id, x, count(*) AS c FROM u2 GROUP BY 1, 2),
+           |m2 AS (SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS m FROM c2 GROUP BY 1),
+           |u3 AS (SELECT doc_id, (((wh[i] * 31 + wh[i+1]) % $P) * 31 + wh[i+2]) % $P AS x
+           |       FROM t, unnest(generate_series(1, len(wh) - 2)) AS s3(i)),
+           |c3 AS (SELECT doc_id, x, count(*) AS c FROM u3 GROUP BY 1, 2),
+           |m3 AS (SELECT doc_id, sum(c) AS n, count(*) AS d FROM c3 GROUP BY 1)
+           |SELECT t.doc_id,
+           |  coalesce((m2.n - m2.d)::DOUBLE / m2.n::DOUBLE, 0.0) AS dup_2gram_frac,
+           |  coalesce((m3.n - m3.d)::DOUBLE / m3.n::DOUBLE, 0.0) AS dup_3gram_frac,
+           |  coalesce(m2.m::DOUBLE / m2.n::DOUBLE, 0.0) AS top_2gram_frac
+           |FROM t LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)""".stripMargin,
       "q_dedup_decontam_spans" ->
         s"""WITH t AS (SELECT doc_id, $sqlWordHashes AS wh FROM documents),
            |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),

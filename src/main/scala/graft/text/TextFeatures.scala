@@ -111,4 +111,52 @@ object TextFeatures {
     * (1-permutation minhash) — cheap near-dup prefilter. */
   def withMinShingle(df: DataFrame, text: String = "text", k: Int = 3): DataFrame =
     df.withColumn("min_shingle", array_min(TextHash.shingleHashes(TextHash.tokenHashes(col(text)), k)))
+
+  /** Max run length over a SORTED array = the highest element frequency —
+    * one fold, no map state (the `aggregate` HOF is interpreted; fine for
+    * per-doc arrays of 10²–10³ grams — a codegen kernel is the upgrade
+    * path if this ever reaches a scan-bound hot loop, like SimHashExpr
+    * replaced the explode formulation). */
+  private def maxFreq(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit(Long.MinValue).as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+
+  /** Within-document repetition metrics — the Gopher/FineWeb-style quality
+    * signals a pretraining filter thresholds on (heavily repeated n-grams
+    * mark boilerplate/spam):
+    *
+    *  - `dup_2gram_frac` / `dup_3gram_frac`: fraction of n-gram SLOTS whose
+    *    gram also occurs elsewhere in the doc, = (n − distinct)/n (0 for
+    *    docs shorter than the gram).
+    *  - `top_2gram_frac`: occurrences of the most frequent 2-gram / total
+    *    2-grams — catches single-phrase spam that the dup fraction dilutes.
+    *
+    * Grams are compared by the engine-portable positioned shingle hashes,
+    * so the DuckDB oracle reproduces every count exactly; the ratios are
+    * one int-int division each (single correctly-rounded IEEE op per
+    * engine). Pure per-row column expressions: shuffle-free, scan-speed,
+    * fully column-pruned at 100 TB. */
+  def withRepetition(df: DataFrame, text: String = "text"): DataFrame = {
+    val th = TextHash.tokenHashes(col(text))
+    def gramFracs(k: Int): (Column, Column) = {
+      val grams = TextHash.positionedShingleHashes(th, k)
+      val n = size(grams).cast("double")
+      val dup = when(size(grams) > 0,
+        (size(grams) - size(array_distinct(grams))).cast("double") / n).otherwise(0.0)
+      val top = when(size(grams) > 0,
+        maxFreq(array_sort(grams)).cast("double") / n).otherwise(0.0)
+      (dup, top)
+    }
+    val (dup2, top2) = gramFracs(2)
+    val (dup3, _) = gramFracs(3)
+    df.withColumn("dup_2gram_frac", dup2)
+      .withColumn("dup_3gram_frac", dup3)
+      .withColumn("top_2gram_frac", top2)
+  }
 }
