@@ -189,6 +189,7 @@ object Bench {
     val chaseSec = if (allLegs.nonEmpty) median(allLegs.map(_._6)) else 0.0
     val diskSec = if (allLegs.nonEmpty) median(allLegs.map(_._7)) else 0.0
 
+    Controls.release() // drop the 768 MiB probe working sets before exit
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + flagshipSec
     val totalS = f"$total%.3f"

@@ -49,11 +49,20 @@ object Controls {
   // would inject minutes of allocation/GC churn between the very reps the
   // bench is measuring); contents are deterministic, so cached probes are
   // byte-identical to rebuilt ones
-  private lazy val membwArr: Array[Long] = {
-    val arr = new Array[Long](64 * 1024 * 1024) // 512 MiB
-    java.util.Arrays.fill(arr, 0x0123456789ABCDEFL)
+  @volatile private var membwArrRef: Array[Long] = null
+  private def membwArr: Array[Long] = {
+    var arr = membwArrRef
+    if (arr == null) {
+      arr = new Array[Long](64 * 1024 * 1024) // 512 MiB
+      java.util.Arrays.fill(arr, 0x0123456789ABCDEFL)
+      membwArrRef = arr
+    }
     arr
   }
+
+  /** Drop the cached probe working sets (768 MiB total) — call after the
+    * last timed leg so a long-lived JVM does not keep them pinned. */
+  def release(): Unit = { membwArrRef = null; chaseCycleRef = null }
 
   /** Wall seconds for `threads` full streaming passes over one shared
     * 512 MiB long array (total traffic = threads x 512 MiB reads). */
@@ -76,7 +85,10 @@ object Controls {
     * stage (sequential-bandwidth and ALU probes measured healthy next to
     * 7x-degraded window legs; this is the probe that should move if the
     * host contends on memory latency). */
-  private lazy val chaseCycle: Array[Int] = {
+  @volatile private var chaseCycleRef: Array[Int] = null
+  private def chaseCycle: Array[Int] = {
+    val cached = chaseCycleRef
+    if (cached != null) return cached
     val n = 32 * 1024 * 1024 // ints = 256 MiB working set as a cycle
     val next = new Array[Int](n)
     // Sattolo's algorithm with a fixed xorshift stream: one full cycle
@@ -90,6 +102,7 @@ object Controls {
       val t = next(i); next(i) = next(j); next(j) = t
       i -= 1
     }
+    chaseCycleRef = next
     next
   }
 

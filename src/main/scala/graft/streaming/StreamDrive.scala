@@ -94,19 +94,22 @@ object StreamDrive {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    // copy the sink out, then release EVERYTHING the replay allocated:
-    // the memory sink's driver-held rows (via the temp view), the staged
-    // parquet copy, and the checkpoint dir — repeated Verify/Bench runs
-    // must not accumulate /tmp garbage or driver heap, and the flagship
-    // legs timed after these queries must not carry their ballast
-    val sink = spark.table(sinkName)
-    val rows = sink.collect()
-    val sinkSchema = sink.schema
-    spark.catalog.dropTempView(sinkName)
-    deleteRecursively(stage)
-    deleteRecursively(ckpt)
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), sinkSchema)
+      // copy the sink out, then release EVERYTHING the replay allocated —
+      // repeated Verify/Bench runs must not accumulate /tmp garbage or
+      // driver heap, and the flagship legs timed after these queries must
+      // not carry their ballast
+      val sink = spark.table(sinkName)
+      val rows = sink.collect()
+      val sinkSchema = sink.schema
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), sinkSchema)
+    } finally {
+      // failure path releases too (Bench swallows per-query Throwables and
+      // keeps looping, so a failed replay must not leak its staging)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try spark.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+      try deleteRecursively(stage) catch { case _: Exception => () }
+      try deleteRecursively(ckpt) catch { case _: Exception => () }
+    }
   }
 
   /** `q_stream_dedup`: exact streaming dedup over the documents table.
