@@ -93,6 +93,21 @@ object Explain {
     check(s"asof: single exchange over the union, got $asofExchanges")(asofExchanges == 1)
     check("asof: no nested loop")(!asofPlan.contains("NestedLoop"))
 
+    // forward: same one-exchange bound; nearest: both frames must land in
+    // ONE WindowExec (same partition/order ⇒ one sort, no second pass)
+    val fwdPlan = graft.asof.AsOfJoin.forward(probe, build, "user_id", "ts",
+      Seq("o_orderkey", "o_totalprice"), buildOrder = Seq("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    val fwdExchanges = "Exchange hashpartitioning".r.findAllIn(fwdPlan).length
+    check(s"asof forward: single exchange, got $fwdExchanges")(fwdExchanges == 1)
+    val nearPlan = graft.asof.AsOfJoin.nearest(probe, build, "user_id", "ts",
+      Seq("o_orderkey", "o_totalprice"), buildOrder = Seq("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    val nearExchanges = "Exchange hashpartitioning".r.findAllIn(nearPlan).length
+    val nearWindows = "\\bWindow \\[".r.findAllIn(nearPlan).length
+    check(s"asof nearest: single exchange, got $nearExchanges")(nearExchanges == 1)
+    check(s"asof nearest: ONE WindowExec for both frames, got $nearWindows")(nearWindows == 1)
+
     // --- as-of merge on BUCKETED sides: both exchanges elided ---
     // (the scale advantage of the custom exec: pre-clustered storage layouts
     // satisfy its required distribution, so EnsureRequirements plans sorts
