@@ -93,8 +93,8 @@ object Explain {
     check(s"asof: single exchange over the union, got $asofExchanges")(asofExchanges == 1)
     check("asof: no nested loop")(!asofPlan.contains("NestedLoop"))
 
-    // forward: same one-exchange bound; nearest: both frames must land in
-    // ONE WindowExec (same partition/order ⇒ one sort, no second pass)
+    // forward: same one-exchange bound (mirrored DESC sort, cumulative
+    // frame); nearest: one exchange + two cumulative passes
     val fwdPlan = graft.asof.AsOfJoin.forward(probe, build, "user_id", "ts",
       Seq("o_orderkey", "o_totalprice"), buildOrder = Seq("o_orderkey"))
       .queryExecution.executedPlan.toString
@@ -106,7 +106,10 @@ object Explain {
     val nearExchanges = "Exchange hashpartitioning".r.findAllIn(nearPlan).length
     val nearWindows = "\\bWindow \\[".r.findAllIn(nearPlan).length
     check(s"asof nearest: single exchange, got $nearExchanges")(nearExchanges == 1)
-    check(s"asof nearest: ONE WindowExec for both frames, got $nearWindows")(nearWindows == 1)
+    // two O(n) cumulative passes (ASC + mirrored DESC), one exchange, no
+    // quadratic unboundedFollowing frame anywhere
+    check(s"asof nearest: TWO cumulative WindowExecs, got $nearWindows")(nearWindows == 2)
+    check("asof nearest: no following-frame aggregate")(!nearPlan.contains("unboundedfollowing$(), "))
 
     // --- as-of merge on BUCKETED sides: both exchanges elided ---
     // (the scale advantage of the custom exec: pre-clustered storage layouts

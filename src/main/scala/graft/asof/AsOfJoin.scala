@@ -25,14 +25,58 @@ import org.apache.spark.sql.functions._
   * `last(value, ignoreNulls=true)` over the cumulative frame, filter back to
   * probe rows. Cost = one hash exchange + one sort over |probe|+|build| —
   * the same lower bound a dedicated sort-merge as-of exec pays when neither
-  * side is pre-bucketed.
+  * side is pre-bucketed. EVERY direction below uses only CUMULATIVE
+  * ([unboundedPreceding, currentRow]) frames — Spark evaluates those in
+  * O(n) per partition, where a [currentRow, unboundedFollowing] frame with
+  * an aggregate re-scans the remainder per row (O(n²) per partition; the
+  * forward direction is therefore expressed as a MIRRORED sort, not a
+  * following frame).
   *
   * Tie rule: build rows sort BEFORE probe rows at equal ts (side 0 < 1), so
   * an equal-timestamp build row is visible — matching DuckDB/pandas
   * `merge_asof` backward semantics. Multiple build rows at the same
   * (entity, ts): pass `buildOrder` tie-breaks to make "last" deterministic.
+  *
+  * Null event times never match: a probe with a null ts yields null values
+  * (guarded explicitly — null-first sort placement would otherwise hand it
+  * the whole partition as a frame), and a build row with a null ts is never
+  * a candidate (its match timestamp is null, which every direction's match
+  * predicate rejects).
   */
 object AsOfJoin {
+
+  /** Tag-and-union boilerplate shared by every direction: build rows carry
+    * the value payload (ONE non-null struct, so a build row with genuinely
+    * null value columns still "matches" — last/ignoreNulls must not skip
+    * past it), probe rows carry nulls + their own columns. `buildSide`
+    * controls equal-ts visibility per direction. */
+  private case class Tagged(unioned: DataFrame, probeSide: Int, probeCols: Seq[String])
+
+  private def tagAndUnion(
+      probe: DataFrame,
+      build: DataFrame,
+      entity: String,
+      ts: String,
+      valueCols: Seq[String],
+      buildOrder: Seq[String],
+      buildSide: Int,
+      probeSide: Int
+  ): Tagged = {
+    val probeCols = probe.columns.toSeq
+    require(!probeCols.exists(valueCols.contains), "value columns collide with probe columns")
+    val payload = struct(col(ts).as("_m_ts") +: valueCols.map(c => col(c).as(c)): _*)
+    val buildTagged = build.select(
+      Seq(col(entity), col(ts), lit(buildSide).as("_side"), payload.as("_b")) ++
+        buildOrder.map(col): _*
+    )
+    val probeTagged = probe.select(
+      Seq(col(entity), col(ts), lit(probeSide).as("_side"),
+        lit(null).cast(buildTagged.schema("_b").dataType).as("_b")) ++
+        buildOrder.map(c => lit(null).cast(build.schema(c).dataType).as(c)) ++
+        probeCols.filterNot(Set(entity, ts).contains).map(col): _*
+    )
+    Tagged(probeTagged.unionByName(buildTagged, allowMissingColumns = true), probeSide, probeCols)
+  }
 
   /** @param probe       left side (entity, ts, …) — all columns kept
     * @param build       right side (entity, ts, value columns)
@@ -51,56 +95,34 @@ object AsOfJoin {
       toleranceSec: Double = -1.0,
       buildOrder: Seq[String] = Nil
   ): DataFrame = {
-    val probeCols = probe.columns.toSeq
-    require(!probeCols.exists(valueCols.contains), "value columns collide with probe columns")
-
-    // Matched build values travel as ONE non-null struct so that a build row
-    // with a genuinely-null value column still "matches" (last(ignoreNulls)
-    // must not skip past it to an older row).
-    val payload = struct(col(ts).as("_m_ts") +: valueCols.map(c => col(c).as(c)): _*)
-    val buildTagged = build.select(
-      Seq(col(entity), col(ts), lit(0).as("_side"), payload.as("_b")) ++
-        buildOrder.map(col): _*
-    )
-    val probeTagged = probe.select(
-      Seq(col(entity), col(ts), lit(1).as("_side"),
-        lit(null).cast(buildTagged.schema("_b").dataType).as("_b")) ++
-        buildOrder.map(c => lit(null).cast(build.schema(c).dataType).as(c)) ++
-        probeCols.filterNot(Set(entity, ts).contains).map(col): _*
-    )
-    val unioned = probeTagged.unionByName(buildTagged, allowMissingColumns = true)
-
+    val t = tagAndUnion(probe, build, entity, ts, valueCols, buildOrder, buildSide = 0, probeSide = 1)
     val ord: Seq[Column] = col(ts) +: col("_side") +: buildOrder.map(col)
     val w = Window
       .partitionBy(col(entity))
       .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val filled = unioned
+    val filled = t.unioned
       .withColumn("_m", last(col("_b"), ignoreNulls = true).over(w))
-      .where(col("_side") === 1)
-
+      .where(col("_side") === t.probeSide)
     val mTs = col("_m").getField("_m_ts")
-    val inTol =
-      if (toleranceSec < 0) mTs.isNotNull
-      else mTs.isNotNull &&
+    val matched =
+      if (toleranceSec < 0) col(ts).isNotNull && mTs.isNotNull
+      else col(ts).isNotNull && mTs.isNotNull &&
         (graft.core.Times.micros(col(ts)) - graft.core.Times.micros(mTs)) <= (toleranceSec * 1e6).toLong
-
-    filled.select(
-      probeCols.map(col) ++
-        Seq(when(inTol, mTs).as("asof_ts")) ++
-        valueCols.map(c => when(inTol, col("_m").getField(c)).as(c)): _*
-    )
+    t.probeCols.map(col) ++
+      Seq(when(matched, mTs).as("asof_ts")) ++
+      valueCols.map(c => when(matched, col("_m").getField(c)).as(c)) match {
+      case cols => filled.select(cols: _*)
+    }
   }
 
   /** FORWARD as-of: for every probe row attach the EARLIEST build row with
     * build.ts ≥ probe.ts (pandas `merge_asof(direction="forward")`).
-    * Same one-exchange-one-sort cost as [[backward]], mirrored: probe rows
-    * sort BEFORE equal-ts build rows (so exact matches are visible in the
-    * following frame) and the match is `first(ignoreNulls)` over
-    * [currentRow, unboundedFollowing]. Tie rule at the matched ts: the
-    * SMALLEST `buildOrder` wins (sort-adjacent row nearest the probe —
-    * the mirror image of backward's largest-wins).
+    * Expressed as the exact MIRROR of [[backward]] — sort ts DESC (side and
+    * buildOrder mirrored too) with the same O(n) cumulative frame, so the
+    * one-exchange-one-sort cost bound genuinely holds. Tie rule at the
+    * matched ts: the SMALLEST `buildOrder` wins (sort-adjacent row nearest
+    * the probe — the mirror image of backward's largest-wins).
     * `toleranceSec`: match only if build.ts − probe.ts ≤ tolerance. */
   def forward(
       probe: DataFrame,
@@ -111,46 +133,36 @@ object AsOfJoin {
       toleranceSec: Double = -1.0,
       buildOrder: Seq[String] = Nil
   ): DataFrame = {
-    val probeCols = probe.columns.toSeq
-    require(!probeCols.exists(valueCols.contains), "value columns collide with probe columns")
-    val payload = struct(col(ts).as("_m_ts") +: valueCols.map(c => col(c).as(c)): _*)
-    val buildTagged = build.select(
-      Seq(col(entity), col(ts), lit(1).as("_side"), payload.as("_b")) ++
-        buildOrder.map(col): _*
-    )
-    val probeTagged = probe.select(
-      Seq(col(entity), col(ts), lit(0).as("_side"),
-        lit(null).cast(buildTagged.schema("_b").dataType).as("_b")) ++
-        buildOrder.map(c => lit(null).cast(build.schema(c).dataType).as(c)) ++
-        probeCols.filterNot(Set(entity, ts).contains).map(col): _*
-    )
-    val unioned = probeTagged.unionByName(buildTagged, allowMissingColumns = true)
-    val ord: Seq[Column] = col(ts) +: col("_side") +: buildOrder.map(col)
+    val t = tagAndUnion(probe, build, entity, ts, valueCols, buildOrder, buildSide = 0, probeSide = 1)
+    // DESC walk: builds with larger ts come first; at equal ts build (0)
+    // still precedes probe (1) so exact matches are visible; buildOrder
+    // DESC makes cumulative `last` = smallest buildOrder at the matched ts
+    val ord: Seq[Column] = col(ts).desc +: col("_side") +: buildOrder.map(col(_).desc)
     val w = Window
       .partitionBy(col(entity))
       .orderBy(ord: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val filled = unioned
-      .withColumn("_m", first(col("_b"), ignoreNulls = true).over(w))
-      .where(col("_side") === 0)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = t.unioned
+      .withColumn("_m", last(col("_b"), ignoreNulls = true).over(w))
+      .where(col("_side") === t.probeSide)
     val mTs = col("_m").getField("_m_ts")
-    val inTol =
-      if (toleranceSec < 0) mTs.isNotNull
-      else mTs.isNotNull &&
+    val matched =
+      if (toleranceSec < 0) col(ts).isNotNull && mTs.isNotNull
+      else col(ts).isNotNull && mTs.isNotNull &&
         (graft.core.Times.micros(mTs) - graft.core.Times.micros(col(ts))) <= (toleranceSec * 1e6).toLong
-    filled.select(
-      probeCols.map(col) ++
-        Seq(when(inTol, mTs).as("asof_ts")) ++
-        valueCols.map(c => when(inTol, col("_m").getField(c)).as(c)): _*
-    )
+    t.probeCols.map(col) ++
+      Seq(when(matched, mTs).as("asof_ts")) ++
+      valueCols.map(c => when(matched, col("_m").getField(c)).as(c)) match {
+      case cols => filled.select(cols: _*)
+    }
   }
 
   /** NEAREST as-of: the build row minimizing |build.ts − probe.ts|
-    * (pandas `merge_asof(direction="nearest")`). STILL one exchange + one
-    * sort: the backward layout's single WindowExec evaluates BOTH frames
-    * (cumulative `last` = backward candidate incl. exact matches;
-    * following `first` = strictly-future candidate) and a projection picks
-    * the closer. Ties (equal distance) resolve BACKWARD; equal-ts
+    * (pandas `merge_asof(direction="nearest")`). ONE exchange + two O(n)
+    * cumulative window passes over the same hash partitioning (ASC for the
+    * backward candidate incl. exact matches, mirrored DESC — probe BEFORE
+    * equal-ts builds — for the strictly-future candidate); a projection
+    * picks the closer. Ties (equal distance) resolve BACKWARD; equal-ts
     * candidates are distance 0 and always win. `toleranceSec` bounds the
     * distance on both sides. */
   def nearest(
@@ -162,42 +174,34 @@ object AsOfJoin {
       toleranceSec: Double = -1.0,
       buildOrder: Seq[String] = Nil
   ): DataFrame = {
-    val probeCols = probe.columns.toSeq
-    require(!probeCols.exists(valueCols.contains), "value columns collide with probe columns")
-    val payload = struct(col(ts).as("_m_ts") +: valueCols.map(c => col(c).as(c)): _*)
-    val buildTagged = build.select(
-      Seq(col(entity), col(ts), lit(0).as("_side"), payload.as("_b")) ++
-        buildOrder.map(col): _*
-    )
-    val probeTagged = probe.select(
-      Seq(col(entity), col(ts), lit(1).as("_side"),
-        lit(null).cast(buildTagged.schema("_b").dataType).as("_b")) ++
-        buildOrder.map(c => lit(null).cast(build.schema(c).dataType).as(c)) ++
-        probeCols.filterNot(Set(entity, ts).contains).map(col): _*
-    )
-    val unioned = probeTagged.unionByName(buildTagged, allowMissingColumns = true)
-    val ord: Seq[Column] = col(ts) +: col("_side") +: buildOrder.map(col)
-    val base = Window.partitionBy(col(entity)).orderBy(ord: _*)
-    val wPast = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wFut = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val filled = unioned
-      .withColumn("_mb", last(col("_b"), ignoreNulls = true).over(wPast))
-      .withColumn("_mf", first(col("_b"), ignoreNulls = true).over(wFut))
-      .where(col("_side") === 1)
+    val t = tagAndUnion(probe, build, entity, ts, valueCols, buildOrder, buildSide = 0, probeSide = 1)
+    val ordBack: Seq[Column] = col(ts) +: col("_side") +: buildOrder.map(col)
+    // strictly-future walk: probe (side 1) sorts BEFORE equal-ts builds in
+    // DESC side order, so an equal-ts build is NOT in its cumulative past
+    val ordFwd: Seq[Column] = col(ts).desc +: col("_side").desc +: buildOrder.map(col(_).desc)
+    val wBack = Window.partitionBy(col(entity)).orderBy(ordBack: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(col(entity)).orderBy(ordFwd: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = t.unioned
+      .withColumn("_mb", last(col("_b"), ignoreNulls = true).over(wBack))
+      .withColumn("_mf", last(col("_b"), ignoreNulls = true).over(wFwd))
+      .where(col("_side") === t.probeSide)
     val tolMicros = (toleranceSec * 1e6).toLong
     val pMic = graft.core.Times.micros(col(ts))
     val bTs = col("_mb").getField("_m_ts")
     val fTs = col("_mf").getField("_m_ts")
     val db = pMic - graft.core.Times.micros(bTs)
     val df = graft.core.Times.micros(fTs) - pMic
-    val bOk = bTs.isNotNull && (if (toleranceSec < 0) lit(true) else db <= tolMicros)
-    val fOk = fTs.isNotNull && (if (toleranceSec < 0) lit(true) else df <= tolMicros)
+    val tsOk = col(ts).isNotNull
+    val bOk = tsOk && bTs.isNotNull && (if (toleranceSec < 0) lit(true) else db <= tolMicros)
+    val fOk = tsOk && fTs.isNotNull && (if (toleranceSec < 0) lit(true) else df <= tolMicros)
     val useB = bOk && (!fOk || db <= df)
     val m = when(useB, col("_mb")).when(fOk, col("_mf"))
-    filled.select(
-      probeCols.map(col) ++
-        Seq(m.getField("_m_ts").as("asof_ts")) ++
-        valueCols.map(c => m.getField(c).as(c)): _*
-    )
+    t.probeCols.map(col) ++
+      Seq(m.getField("_m_ts").as("asof_ts")) ++
+      valueCols.map(c => m.getField(c).as(c)) match {
+      case cols => filled.select(cols: _*)
+    }
   }
 }

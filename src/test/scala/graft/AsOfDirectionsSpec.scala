@@ -54,6 +54,23 @@ class AsOfDirectionsSpec extends SparkSpec {
     assert(got(5L) == ((null, -1L)))
   }
 
+  test("null probe ts never matches, in any direction") {
+    val sq = spark
+    import sq.implicits._
+    val probe = Seq(("a", Option.empty[Timestamp], 9L))
+      .toDF("entity", "ts", "probe_id")
+    val build = Seq(("a", ts("2024-01-01 10:00:00"), 100L, 1.0)).toDF("entity", "ts", "k", "v")
+    for (
+      out <- Seq(
+        AsOfJoin.backward(probe, build, "entity", "ts", Seq("k", "v")),
+        AsOfJoin.forward(probe, build, "entity", "ts", Seq("k", "v")),
+        AsOfJoin.nearest(probe, build, "entity", "ts", Seq("k", "v")))
+    ) {
+      val r = out.select(col("asof_ts"), col("k")).collect()
+      assert(r.length == 1 && r(0).isNullAt(0) && r(0).isNullAt(1))
+    }
+  }
+
   test("tolerance bounds both directions of nearest") {
     val (probe, build) = fix
     val got = AsOfJoin.nearest(probe, build, "entity", "ts", Seq("k", "v"),
