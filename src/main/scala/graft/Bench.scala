@@ -72,13 +72,20 @@ object Bench {
     // (skipped in the scaling sweep: SPARK_GRAFT_FLAGSHIP_ONLY=1 measures
     // just the headline token-throughput job)
     val flagshipOnly = sys.env.get("SPARK_GRAFT_FLAGSHIP_ONLY").contains("1")
+    // SPARK_GRAFT_QUERY_REPS > 1 reports the MIN of N passes per query —
+    // the weather-robust read (per-query single-pass times move ±3x with
+    // host state; see BENCH.md §weather)
+    val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "1").toInt
     val results =
       if (flagshipOnly) Seq.empty[(String, Double)]
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to queryReps).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+          catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
       }
 
     // --- flagship token-throughput (1 warmup + reps, median) ---
