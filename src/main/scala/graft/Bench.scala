@@ -75,7 +75,7 @@ object Bench {
     // SPARK_GRAFT_QUERY_REPS > 1 reports the MIN of N passes per query —
     // the weather-robust read (per-query single-pass times move ±3x with
     // host state; see BENCH.md §weather)
-    val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "1").toInt
+    val queryReps = math.max(1, sys.env.get("SPARK_GRAFT_QUERY_REPS").flatMap(_.toIntOption).getOrElse(1))
     val results =
       if (flagshipOnly) Seq.empty[(String, Double)]
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -109,7 +109,7 @@ object Explain {
     // two O(n) cumulative passes (ASC + mirrored DESC), one exchange, no
     // quadratic unboundedFollowing frame anywhere
     check(s"asof nearest: TWO cumulative WindowExecs, got $nearWindows")(nearWindows == 2)
-    check("asof nearest: no following-frame aggregate")(!nearPlan.contains("unboundedfollowing$(), "))
+    check("asof nearest: no following-frame aggregate")(!nearPlan.contains("unboundedfollowing$()"))
 
     // --- as-of merge on BUCKETED sides: both exchanges elided ---
     // (the scale advantage of the custom exec: pre-clustered storage layouts

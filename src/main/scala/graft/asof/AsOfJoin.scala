@@ -38,19 +38,25 @@ import org.apache.spark.sql.functions._
   * (entity, ts): pass `buildOrder` tie-breaks to make "last" deterministic.
   *
   * Null event times never match: a probe with a null ts yields null values
-  * (guarded explicitly — null-first sort placement would otherwise hand it
-  * the whole partition as a frame), and a build row with a null ts is never
-  * a candidate (its match timestamp is null, which every direction's match
-  * predicate rejects).
+  * (guarded explicitly — in the mirrored DESC walks nulls sort LAST, which
+  * would otherwise hand a null-ts probe the whole partition as its
+  * cumulative frame), and a build row with a null ts is never a candidate
+  * (its match timestamp is null, which every direction's match predicate
+  * rejects).
   */
 object AsOfJoin {
 
   /** Tag-and-union boilerplate shared by every direction: build rows carry
     * the value payload (ONE non-null struct, so a build row with genuinely
     * null value columns still "matches" — last/ignoreNulls must not skip
-    * past it), probe rows carry nulls + their own columns. `buildSide`
-    * controls equal-ts visibility per direction. */
-  private case class Tagged(unioned: DataFrame, probeSide: Int, probeCols: Seq[String])
+    * past it), probe rows carry nulls + their own columns. Tags are fixed
+    * (build `_side` = 0, probe = 1); equal-ts visibility per direction is
+    * controlled by each window's SORT DIRECTION over `_side`, not by the
+    * tag values. */
+  private val BuildSide = 0
+  private val ProbeSide = 1
+
+  private case class Tagged(unioned: DataFrame, probeCols: Seq[String])
 
   private def tagAndUnion(
       probe: DataFrame,
@@ -58,25 +64,36 @@ object AsOfJoin {
       entity: String,
       ts: String,
       valueCols: Seq[String],
-      buildOrder: Seq[String],
-      buildSide: Int,
-      probeSide: Int
+      buildOrder: Seq[String]
   ): Tagged = {
     val probeCols = probe.columns.toSeq
     require(!probeCols.exists(valueCols.contains), "value columns collide with probe columns")
     val payload = struct(col(ts).as("_m_ts") +: valueCols.map(c => col(c).as(c)): _*)
     val buildTagged = build.select(
-      Seq(col(entity), col(ts), lit(buildSide).as("_side"), payload.as("_b")) ++
+      Seq(col(entity), col(ts), lit(BuildSide).as("_side"), payload.as("_b")) ++
         buildOrder.map(col): _*
     )
     val probeTagged = probe.select(
-      Seq(col(entity), col(ts), lit(probeSide).as("_side"),
+      Seq(col(entity), col(ts), lit(ProbeSide).as("_side"),
         lit(null).cast(buildTagged.schema("_b").dataType).as("_b")) ++
         buildOrder.map(c => lit(null).cast(build.schema(c).dataType).as(c)) ++
         probeCols.filterNot(Set(entity, ts).contains).map(col): _*
     )
-    Tagged(probeTagged.unionByName(buildTagged, allowMissingColumns = true), probeSide, probeCols)
+    Tagged(probeTagged.unionByName(buildTagged, allowMissingColumns = true), probeCols)
   }
+
+  /** Shared output projection: probe columns + the guarded match. */
+  private def project(
+      filled: DataFrame,
+      probeCols: Seq[String],
+      matched: Column,
+      mTs: Column,
+      values: Seq[(String, Column)]
+  ): DataFrame =
+    filled.select(
+      probeCols.map(col) ++
+        Seq(when(matched, mTs).as("asof_ts")) ++
+        values.map { case (name, c) => when(matched, c).as(name) }: _*)
 
   /** @param probe       left side (entity, ts, …) — all columns kept
     * @param build       right side (entity, ts, value columns)
@@ -95,7 +112,7 @@ object AsOfJoin {
       toleranceSec: Double = -1.0,
       buildOrder: Seq[String] = Nil
   ): DataFrame = {
-    val t = tagAndUnion(probe, build, entity, ts, valueCols, buildOrder, buildSide = 0, probeSide = 1)
+    val t = tagAndUnion(probe, build, entity, ts, valueCols, buildOrder)
     val ord: Seq[Column] = col(ts) +: col("_side") +: buildOrder.map(col)
     val w = Window
       .partitionBy(col(entity))
@@ -103,17 +120,14 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = t.unioned
       .withColumn("_m", last(col("_b"), ignoreNulls = true).over(w))
-      .where(col("_side") === t.probeSide)
+      .where(col("_side") === ProbeSide)
     val mTs = col("_m").getField("_m_ts")
     val matched =
       if (toleranceSec < 0) col(ts).isNotNull && mTs.isNotNull
       else col(ts).isNotNull && mTs.isNotNull &&
         (graft.core.Times.micros(col(ts)) - graft.core.Times.micros(mTs)) <= (toleranceSec * 1e6).toLong
-    t.probeCols.map(col) ++
-      Seq(when(matched, mTs).as("asof_ts")) ++
-      valueCols.map(c => when(matched, col("_m").getField(c)).as(c)) match {
-      case cols => filled.select(cols: _*)
-    }
+    project(filled, t.probeCols, matched, mTs,
+      valueCols.map(c => c -> col("_m").getField(c)))
   }
 
   /** FORWARD as-of: for every probe row attach the EARLIEST build row with
@@ -133,7 +147,7 @@ object AsOfJoin {
       toleranceSec: Double = -1.0,
       buildOrder: Seq[String] = Nil
   ): DataFrame = {
-    val t = tagAndUnion(probe, build, entity, ts, valueCols, buildOrder, buildSide = 0, probeSide = 1)
+    val t = tagAndUnion(probe, build, entity, ts, valueCols, buildOrder)
     // DESC walk: builds with larger ts come first; at equal ts build (0)
     // still precedes probe (1) so exact matches are visible; buildOrder
     // DESC makes cumulative `last` = smallest buildOrder at the matched ts
@@ -144,17 +158,14 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = t.unioned
       .withColumn("_m", last(col("_b"), ignoreNulls = true).over(w))
-      .where(col("_side") === t.probeSide)
+      .where(col("_side") === ProbeSide)
     val mTs = col("_m").getField("_m_ts")
     val matched =
       if (toleranceSec < 0) col(ts).isNotNull && mTs.isNotNull
       else col(ts).isNotNull && mTs.isNotNull &&
         (graft.core.Times.micros(mTs) - graft.core.Times.micros(col(ts))) <= (toleranceSec * 1e6).toLong
-    t.probeCols.map(col) ++
-      Seq(when(matched, mTs).as("asof_ts")) ++
-      valueCols.map(c => when(matched, col("_m").getField(c)).as(c)) match {
-      case cols => filled.select(cols: _*)
-    }
+    project(filled, t.probeCols, matched, mTs,
+      valueCols.map(c => c -> col("_m").getField(c)))
   }
 
   /** NEAREST as-of: the build row minimizing |build.ts − probe.ts|
@@ -174,7 +185,7 @@ object AsOfJoin {
       toleranceSec: Double = -1.0,
       buildOrder: Seq[String] = Nil
   ): DataFrame = {
-    val t = tagAndUnion(probe, build, entity, ts, valueCols, buildOrder, buildSide = 0, probeSide = 1)
+    val t = tagAndUnion(probe, build, entity, ts, valueCols, buildOrder)
     val ordBack: Seq[Column] = col(ts) +: col("_side") +: buildOrder.map(col)
     // strictly-future walk: probe (side 1) sorts BEFORE equal-ts builds in
     // DESC side order, so an equal-ts build is NOT in its cumulative past
@@ -186,7 +197,7 @@ object AsOfJoin {
     val filled = t.unioned
       .withColumn("_mb", last(col("_b"), ignoreNulls = true).over(wBack))
       .withColumn("_mf", last(col("_b"), ignoreNulls = true).over(wFwd))
-      .where(col("_side") === t.probeSide)
+      .where(col("_side") === ProbeSide)
     val tolMicros = (toleranceSec * 1e6).toLong
     val pMic = graft.core.Times.micros(col(ts))
     val bTs = col("_mb").getField("_m_ts")
@@ -198,10 +209,7 @@ object AsOfJoin {
     val fOk = tsOk && fTs.isNotNull && (if (toleranceSec < 0) lit(true) else df <= tolMicros)
     val useB = bOk && (!fOk || db <= df)
     val m = when(useB, col("_mb")).when(fOk, col("_mf"))
-    t.probeCols.map(col) ++
-      Seq(m.getField("_m_ts").as("asof_ts")) ++
-      valueCols.map(c => m.getField(c).as(c)) match {
-      case cols => filled.select(cols: _*)
-    }
+    project(filled, t.probeCols, matched = m.isNotNull, mTs = m.getField("_m_ts"),
+      valueCols.map(c => c -> m.getField(c)))
   }
 }
