@@ -366,6 +366,17 @@ object SparkEntry {
           Seq("o_orderkey", "o_totalprice"), buildOrder = Seq("o_orderkey"))
         .select(col("event_id"), col("asof_ts"), col("o_orderkey"), col("o_totalprice"))
     }),
+    // forward through the custom Catalyst exec (streaming merge on the
+    // mirrored sort) — same oracle as q_asof_forward
+    "q_asof_forward_merge" -> ((sp, dir) => {
+      val probe = events(sp, dir).select(col("user_id"), col("ts"), col("event_id"))
+      val build = sp.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+          col("o_orderkey"), col("o_totalprice"))
+      graft.asof.AsOfMerge.forward(probe, build, "user_id", "ts",
+          Seq("o_orderkey", "o_totalprice"), buildOrder = Seq("o_orderkey"))
+        .select(col("event_id"), col("asof_ts"), col("o_orderkey"), col("o_totalprice"))
+    }),
     "q_asof_nearest" -> ((sp, dir) => {
       val probe = events(sp, dir).select(col("user_id"), col("ts"), col("event_id"))
       val build = sp.read.parquet(s"$dir/orders.parquet")
@@ -652,6 +663,16 @@ object SparkEntry {
           |SELECT e.event_id, r.o_orderdate AS asof_ts, r.o_orderkey, r.o_totalprice
           |FROM events e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rk = 1""".stripMargin,
       "q_asof_forward" ->
+        """WITH ranked AS (
+          |  SELECT e.event_id, o.o_orderdate, o.o_orderkey, o.o_totalprice,
+          |         row_number() OVER (PARTITION BY e.event_id
+          |                            ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rk
+          |  FROM events e JOIN orders o
+          |    ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+          |)
+          |SELECT e.event_id, r.o_orderdate AS asof_ts, r.o_orderkey, r.o_totalprice
+          |FROM events e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rk = 1""".stripMargin,
+      "q_asof_forward_merge" ->
         """WITH ranked AS (
           |  SELECT e.event_id, o.o_orderdate, o.o_orderkey, o.o_totalprice,
           |         row_number() OVER (PARTITION BY e.event_id

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, AttributeReference, AttributeSet, BindReferences,
+  Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Descending,
   GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection
 }
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
@@ -51,6 +51,34 @@ object AsOfMerge {
       valueCols: Seq[String],
       toleranceSec: Double = -1.0,
       buildOrder: Seq[String] = Nil
+  ): DataFrame =
+    merge(probe, build, entity, ts, valueCols, toleranceSec, buildOrder, forward = false)
+
+  /** FORWARD direction through the same exec — semantics of
+    * [[AsOfJoin.forward]] (earliest build.ts ≥ probe.ts, smallest
+    * buildOrder at the matched ts), cost of the streaming merge: the
+    * children are sorted (entity ASC, ts DESC[, buildOrder DESC]) and the
+    * identical one-retained-row walk runs on the mirrored order. */
+  def forward(
+      probe: DataFrame,
+      build: DataFrame,
+      entity: String,
+      ts: String,
+      valueCols: Seq[String],
+      toleranceSec: Double = -1.0,
+      buildOrder: Seq[String] = Nil
+  ): DataFrame =
+    merge(probe, build, entity, ts, valueCols, toleranceSec, buildOrder, forward = true)
+
+  private def merge(
+      probe: DataFrame,
+      build: DataFrame,
+      entity: String,
+      ts: String,
+      valueCols: Seq[String],
+      toleranceSec: Double,
+      buildOrder: Seq[String],
+      forward: Boolean
   ): DataFrame = {
     require(!probe.columns.exists(valueCols.contains), "value columns collide with probe columns")
     val spark = probe.sparkSession
@@ -79,7 +107,7 @@ object AsOfMerge {
     val asofTs = AttributeReference("asof_ts", buildTsAttr.dataType, nullable = true)()
     val plan = AsOfMergePlan(
       probeAligned.queryExecution.analyzed, buildPlan,
-      entity, ts, valueCols, toleranceSec, buildOrder, asofTs
+      entity, ts, valueCols, toleranceSec, buildOrder, asofTs, forward
     )
     // output keeps the widened key types — exactly what v1's union emits
     GraftSqlBridge.ofRows(spark, plan)
@@ -96,7 +124,8 @@ case class AsOfMergePlan(
     valueCols: Seq[String],
     toleranceSec: Double,
     buildOrder: Seq[String],
-    asofTs: AttributeReference
+    asofTs: AttributeReference,
+    forward: Boolean
 ) extends BinaryNode {
 
   override def left: LogicalPlan = probe
@@ -124,7 +153,7 @@ object AsOfMergeStrategy extends SparkStrategy {
     case m: AsOfMergePlan =>
       AsOfMergeExec(
         m.entity, m.ts, m.valueCols, m.toleranceSec, m.buildOrder, m.output,
-        planLater(m.probe), planLater(m.build)) :: Nil
+        planLater(m.probe), planLater(m.build), m.forward) :: Nil
     case _ => Nil
   }
 }
@@ -137,7 +166,8 @@ case class AsOfMergeExec(
     buildOrder: Seq[String],
     override val output: Seq[Attribute],
     left: SparkPlan,
-    right: SparkPlan
+    right: SparkPlan,
+    forward: Boolean = false
 ) extends BinaryExecNode {
 
   private def attr(side: SparkPlan, name: String): Attribute =
@@ -151,10 +181,14 @@ case class AsOfMergeExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(probeEntity)) :: ClusteredDistribution(Seq(buildEntity)) :: Nil
 
+  // forward = the exact mirror: ts (and tie-breaks) DESC within entity,
+  // so the same consume-while-behind walk yields the earliest future row
+  private def tsDir = if (forward) Descending else Ascending
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(probeEntity, Ascending), SortOrder(probeTs, Ascending)),
-    Seq(SortOrder(buildEntity, Ascending), SortOrder(buildTs, Ascending)) ++
-      buildOrder.map(c => SortOrder(attr(right, c), Ascending))
+    Seq(SortOrder(probeEntity, Ascending), SortOrder(probeTs, tsDir)),
+    Seq(SortOrder(buildEntity, Ascending), SortOrder(buildTs, tsDir)) ++
+      buildOrder.map(c => SortOrder(attr(right, c), tsDir))
   )
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -182,21 +216,31 @@ case class AsOfMergeExec(
     val tolMicros = if (toleranceSec < 0) -1L else (toleranceSec * 1e6).toLong
     val tsType = probeTs.dataType
 
+    val isForward = forward
     left.execute().zipPartitions(right.execute()) { (probeIter, buildIter) =>
-      val probeKeyGen = UnsafeProjection.create(probeKeyAttrs, leftOutput)
-      val buildKeyGen = UnsafeProjection.create(buildKeyAttrs, rightOutput)
-      // lexicographic (entity, ts): build-entity < probe-entity ⇒ consume;
-      // equal entity & build-ts ≤ probe-ts ⇒ consume (equal-ts row visible).
-      // Null entities compare equal ⇒ they match each other (v1 semantics).
-      val keyOrdering = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      // lexicographic walk in the children's REQUIRED sort order: entity
+      // ASC, then ts in the direction's order (ASC backward / DESC
+      // forward, so "behind" always means "still visible"). Null entities
+      // compare equal ⇒ they match each other (v1 semantics); null ts
+      // sorts where the SortOrder defaults put it (first in ASC, last in
+      // DESC) and the natural-ascending comparator negated for DESC agrees.
       val entityOrdering = RowOrdering.createNaturalAscendingOrdering(keyTypes.take(1))
+      val tsOrdering = RowOrdering.createNaturalAscendingOrdering(keyTypes.drop(1))
       val probeEntityGen = UnsafeProjection.create(probeKeyAttrs.take(1), leftOutput)
       val buildEntityGen = UnsafeProjection.create(buildKeyAttrs.take(1), rightOutput)
+      val probeTsGen = UnsafeProjection.create(probeKeyAttrs.drop(1), leftOutput)
+      val buildTsGen = UnsafeProjection.create(buildKeyAttrs.drop(1), rightOutput)
+      val tsSign = if (isForward) -1 else 1
       val outProject = UnsafeProjection.create(boundOut)
       @inline def micros(row: InternalRow, ordinal: Int): Long = tsType match {
         case TimestampType | TimestampNTZType => row.getLong(ordinal)
         case DateType => row.getInt(ordinal) * 86400000000L
         case dt => throw new IllegalArgumentException(s"tolerance unsupported for ts type $dt")
+      }
+      @inline def behindOrEqual(b: InternalRow, p: InternalRow): Boolean = {
+        val ec = entityOrdering.compare(buildEntityGen(b), probeEntityGen(p))
+        if (ec != 0) ec < 0
+        else tsSign * tsOrdering.compare(buildTsGen(b), probeTsGen(p)) <= 0
       }
       val nullBuild = new GenericInternalRow(buildWidth)
       val joined = new JoinedRow
@@ -204,22 +248,26 @@ case class AsOfMergeExec(
       var lastBuild: InternalRow = null
 
       probeIter.map { p =>
-        val pk = probeKeyGen(p)
         // copy() per consumed row is REQUIRED, not an optimization miss:
         // sorter iterators reuse one UnsafeRow object, and the loop
         // condition's buffered.head materializes the NEXT row into that
         // same object — any retained reference must own its bytes.
-        while (buffered.hasNext && keyOrdering.compare(buildKeyGen(buffered.head), pk) <= 0) {
+        while (buffered.hasNext && behindOrEqual(buffered.head, p)) {
           lastBuild = buffered.next().copy()
         }
+        // null event times never match (v1 contract, all directions): the
+        // match timestamp is the payload's _m_ts and a null there means
+        // "no usable candidate", not "match with a null time"
         val matched =
           lastBuild != null &&
             entityOrdering.compare(buildEntityGen(lastBuild), probeEntityGen(p)) == 0 &&
-            (tolMicros < 0 ||
-              // v1's tolerance predicate is three-valued: a null ts on either
-              // side makes `probe.ts - build.ts <= tol` NULL ⇒ no match.
-              (!p.isNullAt(probeTsOrdinal) && !lastBuild.isNullAt(buildTsOrdinal) &&
-                micros(p, probeTsOrdinal) - micros(lastBuild, buildTsOrdinal) <= tolMicros))
+            !p.isNullAt(probeTsOrdinal) && !lastBuild.isNullAt(buildTsOrdinal) &&
+            (tolMicros < 0 || {
+              val d =
+                if (isForward) micros(lastBuild, buildTsOrdinal) - micros(p, probeTsOrdinal)
+                else micros(p, probeTsOrdinal) - micros(lastBuild, buildTsOrdinal)
+              d <= tolMicros
+            })
         outProject(joined(p, if (matched) lastBuild else nullBuild))
       }
     }

@@ -39,6 +39,21 @@ class AsOfMergeSpec extends SparkSpec {
     assert(b.exceptAll(a).count() == 0, "v2 rows missing from v1")
   }
 
+  test("forward merge exec ≡ forward window formulation (ties, tolerance, misses)") {
+    val v1 = AsOfJoin.forward(probeDf, buildDf, "entity", "ts", Seq("bid", "v"), buildOrder = Seq("bid"))
+    val v2 = AsOfMerge.forward(probeDf, buildDf, "entity", "ts", Seq("bid", "v"), buildOrder = Seq("bid"))
+    assertSame(v1, v2)
+    // tie rule: probe at 11:00 sees bid=11 (SMALLEST among equal future ts)
+    assert(v2.where(col("pid") === 2L).select(col("bid")).first().getLong(0) == 11L)
+    // nothing after 12:00 for entity a → null
+    assert(v2.where(col("pid") === 3L).select(col("asof_ts")).first().isNullAt(0))
+    val v1t = AsOfJoin.forward(probeDf, buildDf, "entity", "ts", Seq("bid", "v"),
+      toleranceSec = 600.0, buildOrder = Seq("bid"))
+    val v2t = AsOfMerge.forward(probeDf, buildDf, "entity", "ts", Seq("bid", "v"),
+      toleranceSec = 600.0, buildOrder = Seq("bid"))
+    assertSame(v1t, v2t)
+  }
+
   test("merge exec ≡ window formulation on the hand fixture (ties, misses)") {
     val v1 = AsOfJoin.backward(probeDf, buildDf, "entity", "ts", Seq("bid", "v"), buildOrder = Seq("bid"))
     val v2 = AsOfMerge.backward(probeDf, buildDf, "entity", "ts", Seq("bid", "v"), buildOrder = Seq("bid"))
