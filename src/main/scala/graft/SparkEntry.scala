@@ -465,6 +465,26 @@ object SparkEntry {
     val kinFeat = kinOut
       .map { case (c, e, d) => s"${rs(e, d)} AS \"$c\"" }
       .mkString(", ")
+    // ONE oracle per as-of semantics — the window (v1) and exec (v2)
+    // formulations of the same direction verify against the SAME SQL
+    val backwardAsOfSql = """WITH ranked AS (
+          |  SELECT e.event_id, o.o_orderdate, o.o_orderkey, o.o_totalprice,
+          |         row_number() OVER (PARTITION BY e.event_id
+          |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rk
+          |  FROM events e JOIN orders o
+          |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+          |)
+          |SELECT e.event_id, r.o_orderdate AS asof_ts, r.o_orderkey, r.o_totalprice
+          |FROM events e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rk = 1""".stripMargin
+    val forwardAsOfSql = """WITH ranked AS (
+          |  SELECT e.event_id, o.o_orderdate, o.o_orderkey, o.o_totalprice,
+          |         row_number() OVER (PARTITION BY e.event_id
+          |                            ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rk
+          |  FROM events e JOIN orders o
+          |    ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+          |)
+          |SELECT e.event_id, r.o_orderdate AS asof_ts, r.o_orderkey, r.o_totalprice
+          |FROM events e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rk = 1""".stripMargin
     DocQueries.oracleSql ++ Map(
       // streaming dedup ≡ one survivor per distinct text (horizon >> span;
       // survivor projected onto group-constant columns)
@@ -642,46 +662,10 @@ object SparkEntry {
            |FROM traj t JOIN segs USING (traj_id)
            |WHERE cast(t.ts AS date) >= seg_start""".stripMargin
       },
-      "q_asof_orders_merge" ->
-        """WITH ranked AS (
-          |  SELECT e.event_id, o.o_orderdate, o.o_orderkey, o.o_totalprice,
-          |         row_number() OVER (PARTITION BY e.event_id
-          |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rk
-          |  FROM events e JOIN orders o
-          |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
-          |)
-          |SELECT e.event_id, r.o_orderdate AS asof_ts, r.o_orderkey, r.o_totalprice
-          |FROM events e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rk = 1""".stripMargin,
-      "q_asof_orders" ->
-        """WITH ranked AS (
-          |  SELECT e.event_id, o.o_orderdate, o.o_orderkey, o.o_totalprice,
-          |         row_number() OVER (PARTITION BY e.event_id
-          |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rk
-          |  FROM events e JOIN orders o
-          |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
-          |)
-          |SELECT e.event_id, r.o_orderdate AS asof_ts, r.o_orderkey, r.o_totalprice
-          |FROM events e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rk = 1""".stripMargin,
-      "q_asof_forward" ->
-        """WITH ranked AS (
-          |  SELECT e.event_id, o.o_orderdate, o.o_orderkey, o.o_totalprice,
-          |         row_number() OVER (PARTITION BY e.event_id
-          |                            ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rk
-          |  FROM events e JOIN orders o
-          |    ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
-          |)
-          |SELECT e.event_id, r.o_orderdate AS asof_ts, r.o_orderkey, r.o_totalprice
-          |FROM events e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rk = 1""".stripMargin,
-      "q_asof_forward_merge" ->
-        """WITH ranked AS (
-          |  SELECT e.event_id, o.o_orderdate, o.o_orderkey, o.o_totalprice,
-          |         row_number() OVER (PARTITION BY e.event_id
-          |                            ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rk
-          |  FROM events e JOIN orders o
-          |    ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
-          |)
-          |SELECT e.event_id, r.o_orderdate AS asof_ts, r.o_orderkey, r.o_totalprice
-          |FROM events e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rk = 1""".stripMargin,
+      "q_asof_orders_merge" -> backwardAsOfSql,
+      "q_asof_orders" -> backwardAsOfSql,
+      "q_asof_forward" -> forwardAsOfSql,
+      "q_asof_forward_merge" -> forwardAsOfSql,
       "q_asof_nearest" ->
         """WITH back AS (
           |  SELECT e.event_id, o.o_orderdate, o.o_orderkey, o.o_totalprice,

@@ -237,22 +237,27 @@ case class AsOfMergeExec(
         case DateType => row.getInt(ordinal) * 86400000000L
         case dt => throw new IllegalArgumentException(s"tolerance unsupported for ts type $dt")
       }
-      @inline def behindOrEqual(b: InternalRow, p: InternalRow): Boolean = {
-        val ec = entityOrdering.compare(buildEntityGen(b), probeEntityGen(p))
-        if (ec != 0) ec < 0
-        else tsSign * tsOrdering.compare(buildTsGen(b), probeTsGen(p)) <= 0
-      }
       val nullBuild = new GenericInternalRow(buildWidth)
       val joined = new JoinedRow
       val buffered = buildIter.buffered
       var lastBuild: InternalRow = null
 
       probeIter.map { p =>
+        // probe-side key projections hoisted: their generators are not
+        // called again until the next probe row, so the reused buffers
+        // stay valid through this row's whole consume loop
+        val pEnt = probeEntityGen(p)
+        val pTs = probeTsGen(p)
         // copy() per consumed row is REQUIRED, not an optimization miss:
         // sorter iterators reuse one UnsafeRow object, and the loop
         // condition's buffered.head materializes the NEXT row into that
         // same object — any retained reference must own its bytes.
-        while (buffered.hasNext && behindOrEqual(buffered.head, p)) {
+        while (buffered.hasNext && {
+          val b = buffered.head
+          val ec = entityOrdering.compare(buildEntityGen(b), pEnt)
+          if (ec != 0) ec < 0
+          else tsSign * tsOrdering.compare(buildTsGen(b), pTs) <= 0
+        }) {
           lastBuild = buffered.next().copy()
         }
         // null event times never match (v1 contract, all directions): the
@@ -260,7 +265,7 @@ case class AsOfMergeExec(
         // "no usable candidate", not "match with a null time"
         val matched =
           lastBuild != null &&
-            entityOrdering.compare(buildEntityGen(lastBuild), probeEntityGen(p)) == 0 &&
+            entityOrdering.compare(buildEntityGen(lastBuild), pEnt) == 0 &&
             !p.isNullAt(probeTsOrdinal) && !lastBuild.isNullAt(buildTsOrdinal) &&
             (tolMicros < 0 || {
               val d =

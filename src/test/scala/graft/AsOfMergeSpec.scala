@@ -39,6 +39,27 @@ class AsOfMergeSpec extends SparkSpec {
     assert(b.exceptAll(a).count() == 0, "v2 rows missing from v1")
   }
 
+  test("null event times never match in the exec, both directions (≡ v1)") {
+    val probeN = probeDf.unionByName(
+      probeDf.limit(1).select(col("entity"), expr("cast(null as timestamp)").as("ts"),
+        (col("pid") + 100L).as("pid")))
+    val buildN = buildDf.unionByName(
+      buildDf.limit(1).select(col("entity"), expr("cast(null as timestamp)").as("ts"),
+        (col("bid") + 100L).as("bid"), col("v")))
+    for (dir <- Seq("backward", "forward")) {
+      val (v1, v2) =
+        if (dir == "backward")
+          (AsOfJoin.backward(probeN, buildN, "entity", "ts", Seq("bid", "v"), buildOrder = Seq("bid")),
+            AsOfMerge.backward(probeN, buildN, "entity", "ts", Seq("bid", "v"), buildOrder = Seq("bid")))
+        else
+          (AsOfJoin.forward(probeN, buildN, "entity", "ts", Seq("bid", "v"), buildOrder = Seq("bid")),
+            AsOfMerge.forward(probeN, buildN, "entity", "ts", Seq("bid", "v"), buildOrder = Seq("bid")))
+      assertSame(v1, v2)
+      // the null-ts probe row yields no match
+      assert(v2.where(col("pid") > 100L).select(col("asof_ts")).first().isNullAt(0), dir)
+    }
+  }
+
   test("forward merge exec ≡ forward window formulation (ties, tolerance, misses)") {
     val v1 = AsOfJoin.forward(probeDf, buildDf, "entity", "ts", Seq("bid", "v"), buildOrder = Seq("bid"))
     val v2 = AsOfMerge.forward(probeDf, buildDf, "entity", "ts", Seq("bid", "v"), buildOrder = Seq("bid"))
