@@ -386,6 +386,17 @@ object SparkEntry {
           Seq("o_orderkey", "o_totalprice"), buildOrder = Seq("o_orderkey"))
         .select(col("event_id"), col("asof_ts"), col("o_orderkey"), col("o_totalprice"))
     }),
+    // nearest through the custom exec: ONE merge pass — backward candidate
+    // retained, forward candidate peeked from the iterator head
+    "q_asof_nearest_merge" -> ((sp, dir) => {
+      val probe = events(sp, dir).select(col("user_id"), col("ts"), col("event_id"))
+      val build = sp.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+          col("o_orderkey"), col("o_totalprice"))
+      graft.asof.AsOfMerge.nearest(probe, build, "user_id", "ts",
+          Seq("o_orderkey", "o_totalprice"), buildOrder = Seq("o_orderkey"))
+        .select(col("event_id"), col("asof_ts"), col("o_orderkey"), col("o_totalprice"))
+    }),
 
     // C1 — visited_location: layer = user 7's distinct points
     "q_ctx_visited" -> ((sp, dir) => {
@@ -476,6 +487,35 @@ object SparkEntry {
           |)
           |SELECT e.event_id, r.o_orderdate AS asof_ts, r.o_orderkey, r.o_totalprice
           |FROM events e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rk = 1""".stripMargin
+    val nearestAsOfSql =
+        """WITH back AS (
+          |  SELECT e.event_id, o.o_orderdate, o.o_orderkey, o.o_totalprice,
+          |         row_number() OVER (PARTITION BY e.event_id
+          |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rk
+          |  FROM events e JOIN orders o
+          |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+          |), fwd AS (
+          |  SELECT e.event_id, o.o_orderdate, o.o_orderkey, o.o_totalprice,
+          |         row_number() OVER (PARTITION BY e.event_id
+          |                            ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rk
+          |  FROM events e JOIN orders o
+          |    ON e.user_id = o.o_custkey AND o.o_orderdate > e.ts
+          |), pick AS (
+          |  SELECT e.event_id,
+          |    CASE WHEN b.o_orderdate IS NOT NULL AND (f.o_orderdate IS NULL
+          |           OR epoch_us(e.ts) - epoch_us(b.o_orderdate) <= epoch_us(f.o_orderdate) - epoch_us(e.ts))
+          |         THEN 'b' WHEN f.o_orderdate IS NOT NULL THEN 'f' END AS side,
+          |    b.o_orderdate AS bts, b.o_orderkey AS bk, b.o_totalprice AS bp,
+          |    f.o_orderdate AS fts, f.o_orderkey AS fk, f.o_totalprice AS fp
+          |  FROM events e
+          |  LEFT JOIN back b ON b.event_id = e.event_id AND b.rk = 1
+          |  LEFT JOIN fwd f ON f.event_id = e.event_id AND f.rk = 1
+          |)
+          |SELECT event_id,
+          |  CASE side WHEN 'b' THEN bts WHEN 'f' THEN fts END AS asof_ts,
+          |  CASE side WHEN 'b' THEN bk WHEN 'f' THEN fk END AS o_orderkey,
+          |  CASE side WHEN 'b' THEN bp WHEN 'f' THEN fp END AS o_totalprice
+          |FROM pick""".stripMargin
     val forwardAsOfSql = """WITH ranked AS (
           |  SELECT e.event_id, o.o_orderdate, o.o_orderkey, o.o_totalprice,
           |         row_number() OVER (PARTITION BY e.event_id
@@ -666,35 +706,8 @@ object SparkEntry {
       "q_asof_orders" -> backwardAsOfSql,
       "q_asof_forward" -> forwardAsOfSql,
       "q_asof_forward_merge" -> forwardAsOfSql,
-      "q_asof_nearest" ->
-        """WITH back AS (
-          |  SELECT e.event_id, o.o_orderdate, o.o_orderkey, o.o_totalprice,
-          |         row_number() OVER (PARTITION BY e.event_id
-          |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rk
-          |  FROM events e JOIN orders o
-          |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
-          |), fwd AS (
-          |  SELECT e.event_id, o.o_orderdate, o.o_orderkey, o.o_totalprice,
-          |         row_number() OVER (PARTITION BY e.event_id
-          |                            ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rk
-          |  FROM events e JOIN orders o
-          |    ON e.user_id = o.o_custkey AND o.o_orderdate > e.ts
-          |), pick AS (
-          |  SELECT e.event_id,
-          |    CASE WHEN b.o_orderdate IS NOT NULL AND (f.o_orderdate IS NULL
-          |           OR epoch_us(e.ts) - epoch_us(b.o_orderdate) <= epoch_us(f.o_orderdate) - epoch_us(e.ts))
-          |         THEN 'b' WHEN f.o_orderdate IS NOT NULL THEN 'f' END AS side,
-          |    b.o_orderdate AS bts, b.o_orderkey AS bk, b.o_totalprice AS bp,
-          |    f.o_orderdate AS fts, f.o_orderkey AS fk, f.o_totalprice AS fp
-          |  FROM events e
-          |  LEFT JOIN back b ON b.event_id = e.event_id AND b.rk = 1
-          |  LEFT JOIN fwd f ON f.event_id = e.event_id AND f.rk = 1
-          |)
-          |SELECT event_id,
-          |  CASE side WHEN 'b' THEN bts WHEN 'f' THEN fts END AS asof_ts,
-          |  CASE side WHEN 'b' THEN bk WHEN 'f' THEN fk END AS o_orderkey,
-          |  CASE side WHEN 'b' THEN bp WHEN 'f' THEN fp END AS o_totalprice
-          |FROM pick""".stripMargin,
+      "q_asof_nearest" -> nearestAsOfSql,
+      "q_asof_nearest_merge" -> nearestAsOfSql,
       "q_ctx_visited" ->
         s"""$TrajSql, layer AS (SELECT DISTINCT lat, lon FROM traj WHERE traj_id = '7')
            |SELECT t.traj_id, t.event_id,

@@ -52,7 +52,7 @@ object AsOfMerge {
       toleranceSec: Double = -1.0,
       buildOrder: Seq[String] = Nil
   ): DataFrame =
-    merge(probe, build, entity, ts, valueCols, toleranceSec, buildOrder, forward = false)
+    merge(probe, build, entity, ts, valueCols, toleranceSec, buildOrder, Direction.Backward)
 
   /** FORWARD direction through the same exec — semantics of
     * [[AsOfJoin.forward]] (earliest build.ts ≥ probe.ts, smallest
@@ -68,7 +68,25 @@ object AsOfMerge {
       toleranceSec: Double = -1.0,
       buildOrder: Seq[String] = Nil
   ): DataFrame =
-    merge(probe, build, entity, ts, valueCols, toleranceSec, buildOrder, forward = true)
+    merge(probe, build, entity, ts, valueCols, toleranceSec, buildOrder, Direction.Forward)
+
+  /** NEAREST direction through the same exec — semantics of
+    * [[AsOfJoin.nearest]] (min |Δt|, backward wins ties, tolerance bounds
+    * both sides) in ONE O(n) merge pass: the walk keeps the backward
+    * candidate as usual, and the FIRST unconsumed build row (the iterator
+    * head — necessarily the same-entity row with the smallest strictly
+    * greater ts, smallest tie-break) is the forward candidate; a per-probe
+    * distance compare picks the closer. */
+  def nearest(
+      probe: DataFrame,
+      build: DataFrame,
+      entity: String,
+      ts: String,
+      valueCols: Seq[String],
+      toleranceSec: Double = -1.0,
+      buildOrder: Seq[String] = Nil
+  ): DataFrame =
+    merge(probe, build, entity, ts, valueCols, toleranceSec, buildOrder, Direction.Nearest)
 
   private def merge(
       probe: DataFrame,
@@ -78,7 +96,7 @@ object AsOfMerge {
       valueCols: Seq[String],
       toleranceSec: Double,
       buildOrder: Seq[String],
-      forward: Boolean
+      direction: Direction.Value
   ): DataFrame = {
     require(!probe.columns.exists(valueCols.contains), "value columns collide with probe columns")
     val spark = probe.sparkSession
@@ -107,11 +125,16 @@ object AsOfMerge {
     val asofTs = AttributeReference("asof_ts", buildTsAttr.dataType, nullable = true)()
     val plan = AsOfMergePlan(
       probeAligned.queryExecution.analyzed, buildPlan,
-      entity, ts, valueCols, toleranceSec, buildOrder, asofTs, forward
+      entity, ts, valueCols, toleranceSec, buildOrder, asofTs, direction
     )
     // output keeps the widened key types — exactly what v1's union emits
     GraftSqlBridge.ofRows(spark, plan)
   }
+}
+
+/** Merge directions (an enum keeps the plan node serializable-simple). */
+object Direction extends Enumeration {
+  val Backward, Forward, Nearest = Value
 }
 
 /** Logical node: output = probe columns ++ asof_ts ++ build value columns
@@ -125,7 +148,7 @@ case class AsOfMergePlan(
     toleranceSec: Double,
     buildOrder: Seq[String],
     asofTs: AttributeReference,
-    forward: Boolean
+    direction: Direction.Value
 ) extends BinaryNode {
 
   override def left: LogicalPlan = probe
@@ -153,7 +176,7 @@ object AsOfMergeStrategy extends SparkStrategy {
     case m: AsOfMergePlan =>
       AsOfMergeExec(
         m.entity, m.ts, m.valueCols, m.toleranceSec, m.buildOrder, m.output,
-        planLater(m.probe), planLater(m.build), m.forward) :: Nil
+        planLater(m.probe), planLater(m.build), m.direction) :: Nil
     case _ => Nil
   }
 }
@@ -167,7 +190,7 @@ case class AsOfMergeExec(
     override val output: Seq[Attribute],
     left: SparkPlan,
     right: SparkPlan,
-    forward: Boolean = false
+    direction: Direction.Value = Direction.Backward
 ) extends BinaryExecNode {
 
   private def attr(side: SparkPlan, name: String): Attribute =
@@ -182,8 +205,10 @@ case class AsOfMergeExec(
     ClusteredDistribution(Seq(probeEntity)) :: ClusteredDistribution(Seq(buildEntity)) :: Nil
 
   // forward = the exact mirror: ts (and tie-breaks) DESC within entity,
-  // so the same consume-while-behind walk yields the earliest future row
-  private def tsDir = if (forward) Descending else Ascending
+  // so the same consume-while-behind walk yields the earliest future row;
+  // nearest keeps the backward (ASC) layout — its forward candidate is the
+  // iterator head, not a retained row
+  private def tsDir = if (direction == Direction.Forward) Descending else Ascending
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(probeEntity, Ascending), SortOrder(probeTs, tsDir)),
@@ -216,7 +241,8 @@ case class AsOfMergeExec(
     val tolMicros = if (toleranceSec < 0) -1L else (toleranceSec * 1e6).toLong
     val tsType = probeTs.dataType
 
-    val isForward = forward
+    val isForward = direction == Direction.Forward
+    val isNearest = direction == Direction.Nearest
     left.execute().zipPartitions(right.execute()) { (probeIter, buildIter) =>
       // lexicographic walk in the children's REQUIRED sort order: entity
       // ASC, then ts in the direction's order (ASC backward / DESC
@@ -263,17 +289,43 @@ case class AsOfMergeExec(
         // null event times never match (v1 contract, all directions): the
         // match timestamp is the payload's _m_ts and a null there means
         // "no usable candidate", not "match with a null time"
-        val matched =
-          lastBuild != null &&
+        val pTsOk = !p.isNullAt(probeTsOrdinal)
+        val retainedOk =
+          lastBuild != null && pTsOk &&
             entityOrdering.compare(buildEntityGen(lastBuild), pEnt) == 0 &&
-            !p.isNullAt(probeTsOrdinal) && !lastBuild.isNullAt(buildTsOrdinal) &&
-            (tolMicros < 0 || {
-              val d =
-                if (isForward) micros(lastBuild, buildTsOrdinal) - micros(p, probeTsOrdinal)
-                else micros(p, probeTsOrdinal) - micros(lastBuild, buildTsOrdinal)
-              d <= tolMicros
-            })
-        outProject(joined(p, if (matched) lastBuild else nullBuild))
+            !lastBuild.isNullAt(buildTsOrdinal)
+        val chosen =
+          if (!isNearest) {
+            val matched = retainedOk &&
+              (tolMicros < 0 || {
+                val d =
+                  if (isForward) micros(lastBuild, buildTsOrdinal) - micros(p, probeTsOrdinal)
+                  else micros(p, probeTsOrdinal) - micros(lastBuild, buildTsOrdinal)
+                d <= tolMicros
+              })
+            if (matched) lastBuild else null
+          } else {
+            // nearest: backward candidate = the retained row; forward
+            // candidate = the iterator HEAD (same entity ⇒ smallest
+            // strictly-future ts, smallest tie-break — equal-ts rows were
+            // all consumed). head is only read, never retained, so the
+            // sorter's buffer reuse is safe here.
+            val bOk = retainedOk &&
+              (tolMicros < 0 ||
+                micros(p, probeTsOrdinal) - micros(lastBuild, buildTsOrdinal) <= tolMicros)
+            val fRow = if (buffered.hasNext) buffered.head else null
+            val fOk = fRow != null && pTsOk &&
+              entityOrdering.compare(buildEntityGen(fRow), pEnt) == 0 &&
+              !fRow.isNullAt(buildTsOrdinal) &&
+              (tolMicros < 0 ||
+                micros(fRow, buildTsOrdinal) - micros(p, probeTsOrdinal) <= tolMicros)
+            if (bOk && (!fOk ||
+                micros(p, probeTsOrdinal) - micros(lastBuild, buildTsOrdinal) <=
+                  micros(fRow, buildTsOrdinal) - micros(p, probeTsOrdinal))) lastBuild
+            else if (fOk) fRow
+            else null
+          }
+        outProject(joined(p, if (chosen != null) chosen else nullBuild))
       }
     }
   }

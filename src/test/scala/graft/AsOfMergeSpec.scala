@@ -60,6 +60,29 @@ class AsOfMergeSpec extends SparkSpec {
     }
   }
 
+  test("nearest merge exec ≡ nearest window formulation (ties, tolerance, nulls)") {
+    val v1 = AsOfJoin.nearest(probeDf, buildDf, "entity", "ts", Seq("bid", "v"), buildOrder = Seq("bid"))
+    val v2 = AsOfMerge.nearest(probeDf, buildDf, "entity", "ts", Seq("bid", "v"), buildOrder = Seq("bid"))
+    assertSame(v1, v2)
+    // exact match at 11:00 wins outright; backward tie pick = largest bid
+    assert(v2.where(col("pid") === 2L).select(col("bid")).first().getLong(0) == 12L)
+    val v1t = AsOfJoin.nearest(probeDf, buildDf, "entity", "ts", Seq("bid", "v"),
+      toleranceSec = 1200.0, buildOrder = Seq("bid"))
+    val v2t = AsOfMerge.nearest(probeDf, buildDf, "entity", "ts", Seq("bid", "v"),
+      toleranceSec = 1200.0, buildOrder = Seq("bid"))
+    assertSame(v1t, v2t)
+    // driver shape
+    val dir = "/root/testdata/sf0.001"
+    val probe = spark.read.parquet(s"$dir/events.parquet").select(col("user_id"), col("ts"), col("event_id"))
+    val build = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"), col("o_orderkey"), col("o_totalprice"))
+    val w1 = AsOfJoin.nearest(probe, build, "user_id", "ts", Seq("o_orderkey", "o_totalprice"), buildOrder = Seq("o_orderkey"))
+      .select(col("event_id"), col("asof_ts"), col("o_orderkey"))
+    val w2 = AsOfMerge.nearest(probe, build, "user_id", "ts", Seq("o_orderkey", "o_totalprice"), buildOrder = Seq("o_orderkey"))
+      .select(col("event_id"), col("asof_ts"), col("o_orderkey"))
+    assertSame(w1, w2)
+  }
+
   test("forward merge exec ≡ forward window formulation (ties, tolerance, misses)") {
     val v1 = AsOfJoin.forward(probeDf, buildDf, "entity", "ts", Seq("bid", "v"), buildOrder = Seq("bid"))
     val v2 = AsOfMerge.forward(probeDf, buildDf, "entity", "ts", Seq("bid", "v"), buildOrder = Seq("bid"))
