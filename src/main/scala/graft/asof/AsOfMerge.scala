@@ -258,10 +258,20 @@ case class AsOfMergeExec(
       val buildTsGen = UnsafeProjection.create(buildKeyAttrs.drop(1), rightOutput)
       val tsSign = if (isForward) -1 else 1
       val outProject = UnsafeProjection.create(boundOut)
+      // event-time micros for distance/tolerance arithmetic — mirrors v1's
+      // `unix_micros(cast(ts as timestamp_ltz))` for the numeric types
+      // (cast-from-seconds semantics). DATE keys are treated as UTC days:
+      // the driver pins the session timezone to UTC; under a non-UTC
+      // session TZ with DST, v1's session-local date→timestamp conversion
+      // can differ by the offset delta (documented limitation).
       @inline def micros(row: InternalRow, ordinal: Int): Long = tsType match {
         case TimestampType | TimestampNTZType => row.getLong(ordinal)
         case DateType => row.getInt(ordinal) * 86400000000L
-        case dt => throw new IllegalArgumentException(s"tolerance unsupported for ts type $dt")
+        case org.apache.spark.sql.types.LongType => row.getLong(ordinal) * 1000000L
+        case org.apache.spark.sql.types.IntegerType => row.getInt(ordinal) * 1000000L
+        case org.apache.spark.sql.types.DoubleType => (row.getDouble(ordinal) * 1e6).toLong
+        case dt => throw new IllegalArgumentException(
+          s"distance/tolerance arithmetic unsupported for ts type $dt")
       }
       val nullBuild = new GenericInternalRow(buildWidth)
       val joined = new JoinedRow

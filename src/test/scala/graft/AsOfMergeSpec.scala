@@ -61,11 +61,29 @@ class AsOfMergeSpec extends SparkSpec {
   }
 
   test("nearest merge exec ≡ nearest window formulation (ties, tolerance, nulls)") {
-    val v1 = AsOfJoin.nearest(probeDf, buildDf, "entity", "ts", Seq("bid", "v"), buildOrder = Seq("bid"))
-    val v2 = AsOfMerge.nearest(probeDf, buildDf, "entity", "ts", Seq("bid", "v"), buildOrder = Seq("bid"))
+    val sq = spark
+    import sq.implicits._
+    // extra probes: 10:50 makes the FORWARD candidate strictly closer
+    // (11:00 at 10m vs 09:30 at 80m) — the head-peek branch must win
+    val probes = probeDf.unionByName(
+      Seq(("a", "2024-01-01 10:50:00", 6L)).toDF("entity", "ts_s", "pid")
+        .select(col("entity"), col("ts_s").cast("timestamp").as("ts"), col("pid")))
+    // null-ts rows on both sides: never match, never corrupt neighbors
+    val probeN = probes.unionByName(
+      probes.limit(1).select(col("entity"), expr("cast(null as timestamp)").as("ts"),
+        (col("pid") + 100L).as("pid")))
+    val buildN = buildDf.unionByName(
+      buildDf.limit(1).select(col("entity"), expr("cast(null as timestamp)").as("ts"),
+        (col("bid") + 100L).as("bid"), col("v")))
+    val v1 = AsOfJoin.nearest(probeN, buildN, "entity", "ts", Seq("bid", "v"), buildOrder = Seq("bid"))
+    val v2 = AsOfMerge.nearest(probeN, buildN, "entity", "ts", Seq("bid", "v"), buildOrder = Seq("bid"))
     assertSame(v1, v2)
     // exact match at 11:00 wins outright; backward tie pick = largest bid
     assert(v2.where(col("pid") === 2L).select(col("bid")).first().getLong(0) == 12L)
+    // forward candidate wins at 10:50 (head peek): smallest bid at 11:00
+    assert(v2.where(col("pid") === 6L).select(col("bid")).first().getLong(0) == 11L)
+    // null-ts probe yields no match
+    assert(v2.where(col("pid") > 100L).select(col("asof_ts")).first().isNullAt(0))
     val v1t = AsOfJoin.nearest(probeDf, buildDf, "entity", "ts", Seq("bid", "v"),
       toleranceSec = 1200.0, buildOrder = Seq("bid"))
     val v2t = AsOfMerge.nearest(probeDf, buildDf, "entity", "ts", Seq("bid", "v"),
