@@ -111,6 +111,20 @@ object Explain {
     check(s"asof nearest: TWO cumulative WindowExecs, got $nearWindows")(nearWindows == 2)
     check("asof nearest: no following-frame aggregate")(!nearPlan.contains("unboundedfollowing$()"))
 
+    // exec directions: the same merge shape (no union, no window state)
+    val fwdMergePlan = graft.asof.AsOfMerge.forward(probe, build, "user_id", "ts",
+      Seq("o_orderkey", "o_totalprice"), buildOrder = Seq("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    check("asof forward exec: AsOfMerge planned")(fwdMergePlan.contains("AsOfMerge"))
+    check("asof forward exec: no union, no window")(
+      !fwdMergePlan.contains("Union") && !fwdMergePlan.contains("Window"))
+    val nearMergePlan = graft.asof.AsOfMerge.nearest(probe, build, "user_id", "ts",
+      Seq("o_orderkey", "o_totalprice"), buildOrder = Seq("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    check("asof nearest exec: AsOfMerge planned")(nearMergePlan.contains("AsOfMerge"))
+    check("asof nearest exec: no union, no window")(
+      !nearMergePlan.contains("Union") && !nearMergePlan.contains("Window"))
+
     // --- as-of merge on BUCKETED sides: both exchanges elided ---
     // (the scale advantage of the custom exec: pre-clustered storage layouts
     // satisfy its required distribution, so EnsureRequirements plans sorts
