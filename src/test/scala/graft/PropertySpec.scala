@@ -89,4 +89,41 @@ class PropertySpec extends SparkSpec {
       equal && noLeak
     }, tests = 8)
   }
+
+  test("as-of directions: v1 ≡ v2 and order laws on random frames") {
+    import spark.implicits._
+    val genProbe = Gen.listOfN(10, Gen.zip(Gen.oneOf("x", "y"), Gen.choose(0L, 600L)))
+    val genBuild = Gen.listOfN(10, Gen.zip(Gen.oneOf("x", "y"), Gen.choose(0L, 600L), Gen.choose(0L, 99L)))
+    check(Prop.forAll(genProbe, genBuild, Gen.choose(30.0, 400.0)) { (probes, builds, tol) =>
+      val probe = probes.zipWithIndex
+        .map { case ((e, s), i) => (e, new Timestamp(1700000000000L + s * 1000L), i.toLong) }
+        .toDF("entity", "ts", "pid")
+      val build = builds.zipWithIndex
+        .map { case ((e, s, v), i) => (e, new Timestamp(1700000000000L + s * 1000L), v, i.toLong) }
+        .toDF("entity", "ts", "v", "bid")
+      def eq(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+
+      val f1 = AsOfJoin.forward(probe, build, "entity", "ts", Seq("v"), buildOrder = Seq("bid"))
+      val f2 = AsOfMerge.forward(probe, build, "entity", "ts", Seq("v"), buildOrder = Seq("bid"))
+      val n1 = AsOfJoin.nearest(probe, build, "entity", "ts", Seq("v"), tol, Seq("bid"))
+      val n2 = AsOfMerge.nearest(probe, build, "entity", "ts", Seq("v"), tol, Seq("bid"))
+
+      // order law: every forward match is at or after its probe ts
+      val fwdOrdered = f2.where(col("asof_ts") < col("ts")).count() == 0
+      // nearest law: the match is within tolerance on whichever side it sits
+      val nearBounded = n2.where(col("asof_ts").isNotNull &&
+        abs(unix_micros(col("asof_ts")) - unix_micros(col("ts"))) > (tol * 1e6).toLong).count() == 0
+      // nearest dominance: |dt| never exceeds the backward candidate's |dt|
+      val b2 = AsOfMerge.backward(probe, build, "entity", "ts", Seq("v"), tol, Seq("bid"))
+        .select(col("pid"), col("asof_ts").as("b_ts"))
+      val dominated = n2.join(b2, Seq("pid"))
+        .where(col("b_ts").isNotNull &&
+          (col("asof_ts").isNull ||
+            abs(unix_micros(col("asof_ts")) - unix_micros(col("ts"))) >
+              abs(unix_micros(col("b_ts")) - unix_micros(col("ts")))))
+        .count() == 0
+      eq(f1, f2) && eq(n1, n2) && fwdOrdered && nearBounded && dominated
+    }, tests = 8)
+  }
 }
