@@ -72,17 +72,26 @@ object Bench {
     // (skipped in the scaling sweep: SPARK_GRAFT_FLAGSHIP_ONLY=1 measures
     // just the headline token-throughput job)
     val flagshipOnly = sys.env.get("SPARK_GRAFT_FLAGSHIP_ONLY").contains("1")
-    // SPARK_GRAFT_QUERY_REPS > 1 reports the MIN of N passes per query —
-    // the weather-robust read (per-query single-pass times move ±3x with
-    // host state; see BENCH.md §weather)
-    val queryReps = math.max(1, sys.env.get("SPARK_GRAFT_QUERY_REPS").flatMap(_.toIntOption).getOrElse(1))
+    // SPARK_GRAFT_QUERY_REPS reports the MIN of N passes per query — the
+    // weather-robust read (per-query single-pass times move ±3x with host
+    // state; see BENCH.md §weather). Default 2 (VERDICT r3 item 4b): one
+    // cache miss is the price of per-query numbers that survive weather.
+    val queryReps = math.max(1, sys.env.get("SPARK_GRAFT_QUERY_REPS").flatMap(_.toIntOption).getOrElse(2))
+    val failedQueries = scala.collection.mutable.LinkedHashSet.empty[String]
     val results =
       if (flagshipOnly) Seq.empty[(String, Double)]
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val times = (1 to queryReps).map { _ =>
           val t0 = System.nanoTime()
+          // a failed query must be LOUD (VERDICT r3 item 4a): it still gets
+          // a wall time (the loop continues) but lands in failed_queries
+          // and on stderr, so a healthy-looking JSON cannot hide it
           try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-          catch { case _: Throwable => () }
+          catch {
+            case t: Throwable =>
+              failedQueries += name
+              System.err.println(s"[bench] query $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+          }
           (System.nanoTime() - t0) / 1e9
         }
         name -> times.min
@@ -198,11 +207,20 @@ object Bench {
 
     Controls.release() // drop the 768 MiB probe working sets before exit
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum + flagshipSec
     val totalS = f"$total%.3f"
-    println(
-      s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"tokens":$tokens,"flagship_sec":${f"$flagshipSec%.3f"},"tokens_per_sec":${tps.toLong},"flagship_reps_sec":${jarr(flagReps)},"flagship_rep_task_sec":${jarr(flagLegs.map(_._2))},"flagship_rep_alu_sec":${jarr(flagLegs.map(_._4))},"flagship_rep_membw_sec":${jarr(flagLegs.map(_._5))},"flagship_rep_chase_sec":${jarr(flagLegs.map(_._6))},"flagship_rep_disk_sec":${jarr(flagLegs.map(_._7))},"flagship_task_sec":${f"$flagTask%.3f"},"flagship_gc_sec":${f"$flagGc%.3f"},"tokens_per_task_sec":${tpts.toLong},"grouped_sec":${f"$groupedSec%.3f"},"grouped_tokens_per_sec":${gTps.toLong},"grouped_reps_sec":${jarr(grpReps)},"grouped_task_sec":${f"$grpTask%.3f"},"grouped_gc_sec":${f"$grpGc%.3f"},"grouped_tokens_per_task_sec":${gTpts.toLong},"grouped_rep_task_sec":${jarr(grpLegs.map(_._2))},"grouped_rep_alu_sec":${jarr(grpLegs.map(_._4))},"grouped_rep_membw_sec":${jarr(grpLegs.map(_._5))},"grouped_rep_chase_sec":${jarr(grpLegs.map(_._6))},"grouped_rep_disk_sec":${jarr(grpLegs.map(_._7))},"alu_control_sec":${f"$aluSec%.3f"},"membw_control_sec":${f"$membwSec%.3f"},"chase_control_sec":${f"$chaseSec%.3f"},"disk_control_sec":${f"$diskSec%.3f"},"window_buffer":$windowBuffer,"shuffle_write_bytes":$shufWriteRun,"shuffle_read_bytes":$shufReadRun,"grouped_shuffle_write_bytes":$gShufWrite,"shuffle_partitions":$shufflePartitions,"input_partitions":256}"""
-    )
+    val jsonLine =
+      s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"tokens":$tokens,"flagship_sec":${f"$flagshipSec%.3f"},"tokens_per_sec":${tps.toLong},"flagship_reps_sec":${jarr(flagReps)},"flagship_rep_task_sec":${jarr(flagLegs.map(_._2))},"flagship_rep_alu_sec":${jarr(flagLegs.map(_._4))},"flagship_rep_membw_sec":${jarr(flagLegs.map(_._5))},"flagship_rep_chase_sec":${jarr(flagLegs.map(_._6))},"flagship_rep_disk_sec":${jarr(flagLegs.map(_._7))},"flagship_task_sec":${f"$flagTask%.3f"},"flagship_gc_sec":${f"$flagGc%.3f"},"tokens_per_task_sec":${tpts.toLong},"grouped_sec":${f"$groupedSec%.3f"},"grouped_tokens_per_sec":${gTps.toLong},"grouped_reps_sec":${jarr(grpReps)},"grouped_task_sec":${f"$grpTask%.3f"},"grouped_gc_sec":${f"$grpGc%.3f"},"grouped_tokens_per_task_sec":${gTpts.toLong},"grouped_rep_task_sec":${jarr(grpLegs.map(_._2))},"grouped_rep_alu_sec":${jarr(grpLegs.map(_._4))},"grouped_rep_membw_sec":${jarr(grpLegs.map(_._5))},"grouped_rep_chase_sec":${jarr(grpLegs.map(_._6))},"grouped_rep_disk_sec":${jarr(grpLegs.map(_._7))},"alu_control_sec":${f"$aluSec%.3f"},"membw_control_sec":${f"$membwSec%.3f"},"chase_control_sec":${f"$chaseSec%.3f"},"disk_control_sec":${f"$diskSec%.3f"},"window_buffer":$windowBuffer,"shuffle_write_bytes":$shufWriteRun,"shuffle_read_bytes":$shufReadRun,"grouped_shuffle_write_bytes":$gShufWrite,"shuffle_partitions":$shufflePartitions,"input_partitions":256,"query_reps":$queryReps,"failed_queries":$failedJson}"""
+    println(jsonLine)
+    // also persist the line to a file: the recorded artifact must not be a
+    // truncated stdout tail (VERDICT r3 item 4c — BENCH_r03.json's tail cut
+    // mid-object). SPARK_GRAFT_BENCH_OUT overrides the path.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
   }
 }

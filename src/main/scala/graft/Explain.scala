@@ -179,6 +179,18 @@ object Explain {
     println("=== simhash hamming pairs (banded equality join) ===")
     check("simhash pairs: no CartesianProduct")(!shpPlan.contains("CartesianProduct"))
     check("simhash pairs: no BroadcastNestedLoopJoin")(!shpPlan.contains("BroadcastNestedLoop"))
+    // both sides of the banded self-join must stay canonically equal so
+    // exchange reuse evaluates the banded lineage (posexplode + window
+    // valve + observe) ONCE — the one-sided observe metric broke this in
+    // r3 (ADVICE) by splitting the subtrees. Assert the reuse precondition
+    // (canonical equality) on the self-join's children: AQE's stage cache
+    // and the non-adaptive ReuseExchange rule both key on exactly this.
+    val selfJoinReusable = shp.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.left.canonicalized == j.right.canonicalized => j
+    }
+    check("simhash pairs: banded self-join children canonically equal (exchange reusable)")(
+      selfJoinReusable.nonEmpty)
 
     // --- decontamination: benchmark side broadcast, corpus side scan+agg ---
     val decon = graft.dedup.Dedup.contaminatedDocs(

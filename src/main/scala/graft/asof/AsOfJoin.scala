@@ -205,8 +205,15 @@ object AsOfJoin {
     val db = pMic - graft.core.Times.micros(bTs)
     val df = graft.core.Times.micros(fTs) - pMic
     val tsOk = col(ts).isNotNull
-    val bOk = tsOk && bTs.isNotNull && (if (toleranceSec < 0) lit(true) else db <= tolMicros)
-    val fOk = tsOk && fTs.isNotNull && (if (toleranceSec < 0) lit(true) else df <= tolMicros)
+    // a candidate needs a USABLE DISTANCE, not merely a non-null ts: for
+    // double event-time keys micros() is NULL on NaN/±Inf (try_cast), and
+    // a null distance would otherwise null-poison the `db <= df` compare
+    // and flip the pick to the other side (ADVICE r3 — the exec kernel
+    // applies the same finite-ts guard)
+    val bOk = tsOk && bTs.isNotNull && db.isNotNull &&
+      (if (toleranceSec < 0) lit(true) else db <= tolMicros)
+    val fOk = tsOk && fTs.isNotNull && df.isNotNull &&
+      (if (toleranceSec < 0) lit(true) else df <= tolMicros)
     val useB = bOk && (!fOk || db <= df)
     val m = when(useB, col("_mb")).when(fOk, col("_mf"))
     project(filled, t.probeCols, matched = m.isNotNull, mTs = m.getField("_m_ts"),

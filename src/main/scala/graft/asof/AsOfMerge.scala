@@ -112,6 +112,21 @@ object AsOfMerge {
       probe.select(col(c).as("_t")).unionByName(build.select(col(c).as("_t"))).schema("_t").dataType
     val entityType = unionType(entity)
     val tsType = unionType(ts)
+    // DATE keys are micros-converted as UTC days; v1 converts through the
+    // SESSION timezone, so under a non-UTC TZ with DST the two can differ
+    // by the offset delta exactly when distance arithmetic is consumed
+    // (tolerance or nearest). Reject that combination instead of silently
+    // diverging (VERDICT r3 item 5); pure backward/forward without
+    // tolerance never computes micros and stays TZ-independent.
+    if (tsType == DateType && (toleranceSec >= 0 || direction == Direction.Nearest)) {
+      val tz = java.time.ZoneId
+        .of(spark.sessionState.conf.sessionLocalTimeZone).normalized()
+      require(tz == java.time.ZoneOffset.UTC,
+        s"AsOfMerge with DATE keys and tolerance/nearest requires session timezone UTC " +
+          s"(got '${spark.sessionState.conf.sessionLocalTimeZone}'): the exec's day->micros " +
+          "conversion is UTC-fixed while the window formulation follows the session TZ; " +
+          "cast the key to TIMESTAMP or pin spark.sql.session.timeZone=UTC")
+    }
     val probeAligned = probe
       .withColumn(entity, col(entity).cast(entityType))
       .withColumn(ts, col(ts).cast(tsType))
@@ -181,6 +196,26 @@ object AsOfMergeStrategy extends SparkStrategy {
   }
 }
 
+object AsOfMergeExec {
+  /** Conf key: per-task row threshold (probe + consumed build rows) above
+    * which a skew warning fires. */
+  val SkewWarnRowsKey = "spark.graft.asof.skewWarnRows"
+  val SkewWarnRowsDefault = 100000000L
+  /** Test hook (local mode shares the JVM): number of partitions that
+    * crossed the skew threshold since JVM start. */
+  private[graft] val skewWarningCount = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
+/** WHALE-ENTITY EXPOSURE (VERDICT r3 item 3): this exec clusters by entity
+  * only, so one hot entity serializes into ONE task — the same exposure
+  * SortMergeJoin has, except AQE's skew-join splitting does NOT apply to
+  * custom execs (OptimizeSkewedJoin pattern-matches SMJ/SHJ). A partition
+  * whose row traffic crosses `spark.graft.asof.skewWarnRows` (default 1e8)
+  * logs a warning naming the mitigation: pre-split the whale entity (the
+  * lag-k overlap trick `Kinematic.withKinematicsSalted` uses) or run the
+  * windowed v1 salted variant for that slice. The walk itself stays O(n)
+  * with O(1) memory regardless — the cost is wall-clock serialization, not
+  * a buffering blow-up. */
 case class AsOfMergeExec(
     entity: String,
     ts: String,
@@ -243,6 +278,9 @@ case class AsOfMergeExec(
 
     val isForward = direction == Direction.Forward
     val isNearest = direction == Direction.Nearest
+    val skewWarnRows = session.sessionState.conf
+      .getConfString(AsOfMergeExec.SkewWarnRowsKey, AsOfMergeExec.SkewWarnRowsDefault.toString)
+      .toLong
     left.execute().zipPartitions(right.execute()) { (probeIter, buildIter) =>
       // lexicographic walk in the children's REQUIRED sort order: entity
       // ASC, then ts in the direction's order (ASC backward / DESC
@@ -273,12 +311,36 @@ case class AsOfMergeExec(
         case dt => throw new IllegalArgumentException(
           s"distance/tolerance arithmetic unsupported for ts type $dt")
       }
+      // Double event-time keys: v1's unix_micros(cast(ts as timestamp_ltz))
+      // yields NULL for NaN/±Inf, i.e. "no usable candidate" — but
+      // (NaN*1e6).toLong is 0 and (Inf*1e6).toLong saturates, which would
+      // spuriously pass a tolerance/nearest-distance compare (ADVICE r3).
+      // Anywhere micros() is consumed, a non-finite double ts disqualifies
+      // the row exactly like a null ts does.
+      val tsIsDouble = tsType == org.apache.spark.sql.types.DoubleType
+      @inline def finiteTs(row: InternalRow, ordinal: Int): Boolean =
+        !tsIsDouble || java.lang.Double.isFinite(row.getDouble(ordinal))
       val nullBuild = new GenericInternalRow(buildWidth)
       val joined = new JoinedRow
       val buffered = buildIter.buffered
       var lastBuild: InternalRow = null
+      // entity-skew sentinel: each probe/consumed-build row bumps once, so
+      // equality fires exactly once per partition crossing the threshold
+      var partRows = 0L
+      @inline def bumpSkew(): Unit = {
+        partRows += 1
+        if (partRows == skewWarnRows) {
+          AsOfMergeExec.skewWarningCount.incrementAndGet()
+          org.slf4j.LoggerFactory.getLogger("graft.asof.AsOfMergeExec").warn(
+            s"[graft] as-of merge partition exceeded $skewWarnRows rows — entity skew " +
+              "serializes into one task (AQE skew split does not see custom execs); " +
+              "pre-split the whale entity or use the windowed salted variant " +
+              s"(threshold conf: ${AsOfMergeExec.SkewWarnRowsKey})")
+        }
+      }
 
       probeIter.map { p =>
+        bumpSkew()
         // probe-side key projections hoisted: their generators are not
         // called again until the next probe row, so the reused buffers
         // stay valid through this row's whole consume loop
@@ -294,6 +356,7 @@ case class AsOfMergeExec(
           if (ec != 0) ec < 0
           else tsSign * tsOrdering.compare(buildTsGen(b), pTs) <= 0
         }) {
+          bumpSkew()
           lastBuild = buffered.next().copy()
         }
         // null event times never match (v1 contract, all directions): the
@@ -308,10 +371,12 @@ case class AsOfMergeExec(
           if (!isNearest) {
             val matched = retainedOk &&
               (tolMicros < 0 || {
-                val d =
-                  if (isForward) micros(lastBuild, buildTsOrdinal) - micros(p, probeTsOrdinal)
-                  else micros(p, probeTsOrdinal) - micros(lastBuild, buildTsOrdinal)
-                d <= tolMicros
+                finiteTs(p, probeTsOrdinal) && finiteTs(lastBuild, buildTsOrdinal) && {
+                  val d =
+                    if (isForward) micros(lastBuild, buildTsOrdinal) - micros(p, probeTsOrdinal)
+                    else micros(p, probeTsOrdinal) - micros(lastBuild, buildTsOrdinal)
+                  d <= tolMicros
+                }
               })
             if (matched) lastBuild else null
           } else {
@@ -320,13 +385,14 @@ case class AsOfMergeExec(
             // strictly-future ts, smallest tie-break — equal-ts rows were
             // all consumed). head is only read, never retained, so the
             // sorter's buffer reuse is safe here.
-            val bOk = retainedOk &&
+            val pFinite = finiteTs(p, probeTsOrdinal)
+            val bOk = retainedOk && pFinite && finiteTs(lastBuild, buildTsOrdinal) &&
               (tolMicros < 0 ||
                 micros(p, probeTsOrdinal) - micros(lastBuild, buildTsOrdinal) <= tolMicros)
             val fRow = if (buffered.hasNext) buffered.head else null
-            val fOk = fRow != null && pTsOk &&
+            val fOk = fRow != null && pTsOk && pFinite &&
               entityOrdering.compare(buildEntityGen(fRow), pEnt) == 0 &&
-              !fRow.isNullAt(buildTsOrdinal) &&
+              !fRow.isNullAt(buildTsOrdinal) && finiteTs(fRow, buildTsOrdinal) &&
               (tolMicros < 0 ||
                 micros(fRow, buildTsOrdinal) - micros(p, probeTsOrdinal) <= tolMicros)
             if (bOk && (!fOk ||

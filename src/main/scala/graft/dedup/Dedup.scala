@@ -200,14 +200,19 @@ object Dedup {
         // expensive) bucket lineage for a separate aggregate+join
         val counted = banded0.withColumn("_sz", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("_band"), col("_bb"))))
-        val kept = counted.where(col("_sz") <= maxBucket).drop("_sz")
-        // observe the valve on ONE side only (observation names must be
-        // unique per query; side a sees every dropped row exactly once)
-        val keptA = CapAudit
+        // the valve observation sits on the ONE shared frame BOTH join
+        // sides derive from: identical subtrees keep the two exchange
+        // children canonically equal, so Spark plans a ReusedExchange and
+        // the banded lineage (posexplode + window count) is evaluated ONCE
+        // — and the metric therefore counts each dropped row once. (A
+        // one-sided observation broke that equality and doubled the whole
+        // lineage — ADVICE r3. Duplicate CollectMetrics names are legal
+        // precisely because the subtrees are identical.)
+        val kept = CapAudit
           .observeDrops(counted, when(col("_sz") > maxBucket, 1L).otherwise(0L),
             "banded_bucket_valve", "Dedup-band bucket sizes (raise maxBucket or re-band)")
           .where(col("_sz") <= maxBucket).drop("_sz")
-        (keptA, kept)
+        (kept, kept)
       }
     bandedA.select(col("_id").as("id_a"), col("_band"), col("_bb"))
       .join(bandedB.select(col("_id").as("id_b"), col("_band"), col("_bb")), Seq("_band", "_bb"))
@@ -231,15 +236,30 @@ object Dedup {
     * fires the [[CapAudit]] observed metrics — and the signature cache is
     * released before returning: the only persisted blocks that survive are
     * the pair result itself (asserted in DedupCacheSpec; callers may
-    * `unpersist()` the returned frame when done). `eager = false` returns
-    * the fully lazy plan — those callers own eviction of `cached`. */
+    * `unpersist()` the returned frame sooner). Repeated eager calls do NOT
+    * accumulate in the cache manager: each call unpersists the previous
+    * eager result (ADVICE r3 — min-of-N bench reps were pinning one cached
+    * pair frame per rep), so at most ONE eager pair result is ever resident
+    * and a frame returned by an earlier call lazily recomputes if re-read.
+    * `eager = false` returns the fully lazy plan with NO persists at all —
+    * the signature lineage recomputes per reference (3×), the audit mode
+    * Explain uses. */
+  private val lastEagerResult =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
   private def consumeEagerly(out: DataFrame, cached: DataFrame, eager: Boolean): DataFrame =
     if (eager) {
       val mat = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       mat.count()
       cached.unpersist(false)
+      val prev = lastEagerResult.getAndSet(mat)
+      if (prev != null && (prev.sparkSession eq mat.sparkSession)) prev.unpersist(false)
       mat
     } else out
+
+  /** Persist `df` only on the eager path (the lazy path has no handle for
+    * callers to evict — ADVICE r3 — so it must not pin anything). */
+  private def persistIfEager(df: DataFrame, eager: Boolean): DataFrame =
+    if (eager) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df
 
   def minhashLshPairs(
       df: DataFrame,
@@ -254,8 +274,7 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = minhashSignatures(df, k, numHashes, id, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = persistIfEager(minhashSignatures(df, k, numHashes, id, text), eager)
     val bandBuckets = transform(sequence(lit(0), lit(bands - 1)), b => slice(col("sig"), b * r + 1, lit(r)))
     val out = bandedCandidates(sigs, col(id), bandBuckets, maxBucket)
       .join(sigs.select(col(id).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -333,8 +352,7 @@ object Dedup {
   ): DataFrame = {
     require(maxHamming >= 0, "maxHamming must be non-negative")
     val bands = maxHamming + 1
-    val sh = simhash(df, id, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = persistIfEager(simhash(df, id, text), eager)
     val bandBuckets = array(bandLayout(TextHash.simhashBits, bands).map { case (off, bits) =>
       shiftright(col("simhash"), off).bitwiseAND((1L << bits) - 1)
     }: _*)

@@ -14,9 +14,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * pipeline: the same gap rule (new session when Δt > gap), expressed over
   * `readStream` with event-time watermarking and per-entity state via
   * `flatMapGroupsWithState` — the documented Spark pattern for custom
-  * session windows. State per entity is O(1) (last ts + running session id),
-  * so a 1000-executor cluster shards entities by hash with bounded memory;
-  * ProcessingTimeTimeout + watermark evict idle entities.
+  * session windows. State per entity is O(1) (last ts + running session
+  * id); TOTAL state is bounded by idle-entity eviction (below), so a
+  * 1000-executor cluster shards entities by hash with bounded memory even
+  * over an unbounded entity universe.
+  *
+  * '''State eviction (VERDICT r3 item 1).''' The group state runs under
+  * `GroupStateTimeout.EventTimeTimeout`: after processing an entity's
+  * batch, a timeout is registered at `lastTs + idleStateTimeoutSec`; when
+  * the WATERMARK passes that point the group times out on a later
+  * micro-batch and its state is removed. Event-time timeouts ride the
+  * watermark — they never busy-loop empty micro-batches the way
+  * ProcessingTimeTimeout does under the default trigger (the trap this
+  * repo documented in r2). Eviction is gap-semantics-preserving as long as
+  * `idleStateTimeoutSec >= gapSeconds` (enforced): any row arriving after
+  * eviction has `ts > watermark > lastTs + gap`, so the batch rule would
+  * have started a new session for it anyway.
+  *
+  * '''Re-appearing-entity contract.''' Eviction drops the running session
+  * counter with the state, so an entity that returns after its state was
+  * evicted re-bases `session_id` at 0. Session ids are therefore unique
+  * per (entity, state epoch), not globally monotone per entity — consumers
+  * that need a globally unique session key should key on
+  * `(entity, first ts of the session)`, which is stable under re-basing.
+  * Passing `idleStateTimeoutSec = None` disables eviction entirely (state
+  * grows O(#entities) forever): that is the exact-parity mode the replay
+  * harness uses to hash-compare against the batch operator, not a
+  * production configuration.
   *
   * Late data beyond the watermark is dropped by the upstream
   * `withWatermark`; in-order data within an entity is guaranteed by Spark's
@@ -30,14 +54,20 @@ object StreamSessionize {
   case class SessionAssign(entity: String, ts: Timestamp, session_id: Long)
   case class SessState(lastTsMicros: Long, sessionId: Long)
 
-  /** Assign gap-based session ids on a (possibly streaming) Dataset with
-    * columns (entity string, ts timestamp). Output schema matches the batch
-    * operator: (entity, ts, session_id), session_id 0-based per entity. */
+  /** Assign gap-based session ids on a streaming Dataset with columns
+    * (entity string, ts timestamp). Output schema matches the batch
+    * operator: (entity, ts, session_id), session_id 0-based per entity
+    * (per state epoch — see the re-appearing-entity contract above).
+    * `idleStateTimeoutSec` defaults to 30 days; must be ≥ `gapSeconds`. */
   def byGap(
       points: DataFrame,
       gapSeconds: Double,
-      watermarkDelay: String = "10 minutes"
+      watermarkDelay: String = "10 minutes",
+      idleStateTimeoutSec: Option[Double] = Some(30 * 86400.0)
   ): Dataset[SessionAssign] = {
+    idleStateTimeoutSec.foreach(t => require(t >= gapSeconds,
+      s"idleStateTimeoutSec ($t) must be >= gapSeconds ($gapSeconds): evicting inside the " +
+        "gap horizon would re-base session ids for rows the batch rule keeps in-session"))
     val gapMicros = (gapSeconds * 1e6).toLong
     val typed = points
       .select(col("entity"), col("ts"))
@@ -46,17 +76,25 @@ object StreamSessionize {
 
     typed
       .groupByKey(_.entity)(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        assignBatch(gapMicros)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        assignBatch(gapMicros, idleStateTimeoutSec.map(t => (t * 1000).toLong))
       )(Encoders.product[SessState], Encoders.product[SessionAssign])
   }
 
-  /** Per-entity, per-micro-batch state transition. */
-  private def assignBatch(gapMicros: Long)(
+  /** Per-entity, per-micro-batch state transition (+ timeout handling). */
+  private def assignBatch(gapMicros: Long, evictAfterMs: Option[Long])(
       entity: String,
       rows: Iterator[Point],
       state: GroupState[SessState]
   ): Iterator[SessionAssign] = {
+    if (state.hasTimedOut) {
+      // the watermark passed lastTs + idleStateTimeout ≥ lastTs + gap: any
+      // future row for this entity starts a new session under the batch
+      // rule too, so dropping the state (including the session counter —
+      // re-basing contract above) changes no gap decision
+      state.remove()
+      return Iterator.empty
+    }
     // full microsecond precision: Timestamp.getTime is millis-truncated,
     // the sub-milli part lives in getNanos (batch byGap compares micros)
     def micros(t: Timestamp): Long =
@@ -79,10 +117,15 @@ object StreamSessionize {
       }
     }
     state.update(st)
-    // Production note: a deployment with a real trigger interval should use
-    // ProcessingTimeTimeout + state.remove() to evict idle entities; with
-    // the default zero-interval trigger, registered timeouts busy-loop
-    // empty micro-batches, so eviction is left to the deployment config.
+    evictAfterMs.foreach { ms =>
+      if (st.lastTsMicros != Long.MinValue) {
+        // event-time timeout must be registered strictly ahead of the
+        // current watermark (Spark rejects a timestamp at/behind it);
+        // clamping to wm+1 evicts a straggler entity on the next batch
+        state.setTimeoutTimestamp(
+          math.max(Math.floorDiv(st.lastTsMicros, 1000L) + ms, state.getCurrentWatermarkMs() + 1L))
+      }
+    }
     out.iterator
   }
 }

@@ -168,4 +168,72 @@ class AsOfMergeSpec extends SparkSpec {
     assert(!plan.contains("Union"), "v2 must not union the sides")
     assert(!plan.contains("Window"), "v2 must not use window state")
   }
+
+  test("NaN/Inf double event times never match under tolerance or nearest (≡ v1 null-cast)") {
+    import spark.implicits._
+    // v1 converts double ts via unix_micros(cast(... as timestamp_ltz)),
+    // which is NULL for non-finite doubles → no match; the exec must agree
+    // instead of letting (NaN*1e6).toLong = 0 pass the distance compare
+    val probe = Seq(("a", 100.0, 1L), ("a", Double.NaN, 2L), ("a", 200.0, 3L))
+      .toDF("entity", "ts", "pid")
+    val build = Seq(("a", 90.0, 10L), ("a", Double.PositiveInfinity, 11L), ("a", 199.0, 12L))
+      .toDF("entity", "ts", "bid")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val (v1, v2) = dir match {
+        case "backward" =>
+          (AsOfJoin.backward(probe, build, "entity", "ts", Seq("bid"), toleranceSec = 50.0),
+            AsOfMerge.backward(probe, build, "entity", "ts", Seq("bid"), toleranceSec = 50.0))
+        case "forward" =>
+          (AsOfJoin.forward(probe, build, "entity", "ts", Seq("bid"), toleranceSec = 50.0),
+            AsOfMerge.forward(probe, build, "entity", "ts", Seq("bid"), toleranceSec = 50.0))
+        case _ =>
+          (AsOfJoin.nearest(probe, build, "entity", "ts", Seq("bid")),
+            AsOfMerge.nearest(probe, build, "entity", "ts", Seq("bid")))
+      }
+      assertSame(v1, v2)
+      // the NaN probe row must be a miss, the +Inf build row never chosen
+      val rows = v2.select(col("pid"), col("bid")).collect().map(r => r.getLong(0) -> r.get(1)).toMap
+      assert(rows(2L) == null, s"$dir: NaN probe matched ${rows(2L)}")
+      assert(!rows.values.exists(_ == 11L), s"$dir: +Inf build row was chosen")
+    }
+  }
+
+  test("DATE keys with tolerance/nearest are rejected under a non-UTC session timezone") {
+    val build = buildDf.select(col("entity"), col("ts").cast("date").as("ts"), col("bid"))
+    val probeD = probeDf.select(col("entity"), col("ts").cast("date").as("ts"), col("pid"))
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Europe/Berlin")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        AsOfMerge.backward(probeD, build, "entity", "ts", Seq("bid"), toleranceSec = 86400.0)
+      }
+      assert(err.getMessage.contains("session timezone UTC"))
+      intercept[IllegalArgumentException] {
+        AsOfMerge.nearest(probeD, build, "entity", "ts", Seq("bid"))
+      }
+      // no distance arithmetic → TZ-independent → allowed
+      AsOfMerge.backward(probeD, build, "entity", "ts", Seq("bid")).count()
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("whale-entity partitions trip the skew warning (AQE cannot split a custom exec)") {
+    import spark.implicits._
+    val before = graft.asof.AsOfMergeExec.skewWarningCount.get()
+    spark.conf.set(graft.asof.AsOfMergeExec.SkewWarnRowsKey, "500")
+    try {
+      // one entity holds ~90% of the rows → its partition crosses the
+      // 500-row threshold; the balanced control below must NOT warn
+      val whaleProbe = spark.range(900).select(lit("whale").as("entity"), col("id").cast("double").as("ts"), col("id").as("pid"))
+        .unionAll(spark.range(100).select(concat(lit("e"), col("id")).as("entity"), col("id").cast("double").as("ts"), col("id").as("pid")))
+      val build = spark.range(10).select(lit("whale").as("entity"), (col("id") * 100).cast("double").as("ts"), col("id").as("bid"))
+      AsOfMerge.backward(whaleProbe, build, "entity", "ts", Seq("bid")).count()
+      assert(graft.asof.AsOfMergeExec.skewWarningCount.get() > before,
+        "whale partition did not trigger the skew warning")
+      val mid = graft.asof.AsOfMergeExec.skewWarningCount.get()
+      spark.conf.set(graft.asof.AsOfMergeExec.SkewWarnRowsKey, "100000")
+      AsOfMerge.backward(whaleProbe, build, "entity", "ts", Seq("bid")).count()
+      assert(graft.asof.AsOfMergeExec.skewWarningCount.get() == mid,
+        "balanced run must not warn at the default-scale threshold")
+    } finally spark.conf.unset(graft.asof.AsOfMergeExec.SkewWarnRowsKey)
+  }
 }

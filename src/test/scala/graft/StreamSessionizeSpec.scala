@@ -63,4 +63,51 @@ class StreamSessionizeSpec extends SparkSpec {
     assert(got.count() == 7)
     assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
   }
+
+  test("idle entities are evicted once the watermark passes lastTs + idle timeout") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val sessions = StreamSessionize.byGap(
+      mem.toDF().toDF("entity", "ts"),
+      gapSeconds = 60.0,
+      watermarkDelay = "0 seconds",
+      idleStateTimeoutSec = Some(60.0)
+    )
+    val query = sessions.writeStream
+      .format("memory")
+      .queryName("stream_sessions_evict")
+      .outputMode("append")
+      .start()
+
+    def stateRows: Long =
+      query.recentProgress.flatMap(_.stateOperators).lastOption.map(_.numRowsTotal).getOrElse(-1L)
+
+    // batch 1: two entities, both stateful
+    mem.addData(("a", ts("2024-01-01 00:00:00")), ("b", ts("2024-01-01 00:00:00")))
+    query.processAllAvailable()
+    assert(stateRows == 2, s"expected 2 stateful entities, got $stateRows")
+
+    // batch 2+3: only b keeps flowing; the watermark (0s delay) advances to
+    // 01:00 then 02:00, passing a's timeout (00:00 + 60s idle) → a's state
+    // is REMOVED by the event-time timeout path
+    mem.addData(("b", ts("2024-01-01 01:00:00")))
+    query.processAllAvailable()
+    mem.addData(("b", ts("2024-01-01 02:00:00")))
+    query.processAllAvailable()
+    assert(stateRows == 1, s"idle entity 'a' not evicted: state rows = $stateRows")
+
+    // re-appearing-entity contract: a returns after eviction and re-bases
+    // its session counter at 0 (the batch rule would have said session 1)
+    mem.addData(("a", ts("2024-01-01 03:00:00")))
+    query.processAllAvailable()
+    query.stop()
+    val aRows = spark.table("stream_sessions_evict")
+      .where(col("entity") === "a").select(col("ts"), col("session_id")).collect()
+    val reappeared = aRows.filter(_.getTimestamp(0) == ts("2024-01-01 03:00:00"))
+    assert(reappeared.length == 1 && reappeared.head.getLong(1) == 0L,
+      s"re-appearing entity must re-base session_id at 0, got ${reappeared.toSeq}")
+    spark.catalog.dropTempView("stream_sessions_evict")
+  }
 }
