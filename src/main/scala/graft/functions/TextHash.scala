@@ -106,6 +106,14 @@ object TextHash {
     )
   }
 
+  /** Repetition metrics [dup_2gram_frac, dup_3gram_frac, top_2gram_frac]
+    * from a token-hash array — codegen'd kernel ([[RepetitionExpr]]); the
+    * HOF formulation lives in
+    * [[graft.text.TextFeatures.withRepetitionHof]] as the parity
+    * reference. */
+  def repetitionMetrics(tokenHashes: Column): Column =
+    kcol(RepetitionExpr(kexp(tokenHashes)))
+
   /** 62-bit SimHash from token hashes: two independent 31-bit poly-affine
     * hashes per token give bits 0..61; bit b of the fingerprint is 1 iff
     * Σ_tokens (2·bit_b(h_tok) − 1) > 0. Returned as BIGINT. */

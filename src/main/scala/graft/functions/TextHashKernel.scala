@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** JVM kernels for the portable text-hash stack ([[TextHash]]). Each mirrors
@@ -96,6 +96,47 @@ object TextHashKernel {
     new GenericArrayData(sig)
   }
 
+  /** Per-k positioned-gram stats: (dup fraction, top fraction) — grams in
+    * primitive buffers, one sort + one run-length pass. (0,0) when the doc
+    * is shorter than the gram, mirroring the HOF's empty-array branch. */
+  private def gramStats(th: ArrayData, n: Int, k: Int): (Double, Double) = {
+    val m = n - (k - 1)
+    if (m <= 0) return (0.0, 0.0)
+    val grams = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var s = th.getLong(i)
+      var j = 1
+      while (j < k) { s = (s * 31L + th.getLong(i + j)) % P; j += 1 }
+      grams(i) = s
+      i += 1
+    }
+    java.util.Arrays.sort(grams)
+    var distinct = 1
+    var run = 1
+    var best = 1
+    i = 1
+    while (i < m) {
+      if (grams(i) == grams(i - 1)) { run += 1; if (run > best) best = run }
+      else { distinct += 1; run = 1 }
+      i += 1
+    }
+    // same IEEE ops as the HOF: int-diff widened to double, ONE division
+    ((m - distinct).toDouble / m.toDouble, best.toDouble / m.toDouble)
+  }
+
+  /** Repetition metrics over a token-hash array:
+    * [dup_2gram_frac, dup_3gram_frac, top_2gram_frac] — the codegen kernel
+    * behind [[graft.text.TextFeatures.withRepetition]] (the HOF
+    * `aggregate`/`array_sort`/`array_distinct` chain it replaces is kept as
+    * the parity reference, the 6–36× law BENCH.md §codegen kernels). */
+  def repetition(th: ArrayData): ArrayData = {
+    val n = th.numElements()
+    val (dup2, top2) = gramStats(th, n, 2)
+    val (dup3, _) = gramStats(th, n, 3)
+    new GenericArrayData(Array(dup2, dup3, top2))
+  }
+
   /** 62-bit SimHash from token hashes (majority sign per bit of the widened
     * 62-bit hash h = h1·2³¹ + affine(h1)). */
   def simhash(th: ArrayData, bits: Int): Long = {
@@ -158,6 +199,14 @@ case class MinhashExpr(child: Expression, numHashes: Int) extends TextKernelUnar
   override protected def nullSafeEval(a: Any): Any =
     TextHashKernel.minhash(a.asInstanceOf[ArrayData], numHashes)
   override protected def withNewChildInternal(c: Expression): MinhashExpr = copy(child = c)
+}
+
+case class RepetitionExpr(child: Expression) extends TextKernelUnary {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def call: String = "repetition($c)"
+  override protected def nullSafeEval(a: Any): Any =
+    TextHashKernel.repetition(a.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): RepetitionExpr = copy(child = c)
 }
 
 case class SimHashExpr(child: Expression, bits: Int) extends TextKernelUnary {

@@ -113,10 +113,9 @@ object TextFeatures {
     df.withColumn("min_shingle", array_min(TextHash.shingleHashes(TextHash.tokenHashes(col(text)), k)))
 
   /** Max run length over a SORTED array = the highest element frequency —
-    * one fold, no map state (the `aggregate` HOF is interpreted; fine for
-    * per-doc arrays of 10²–10³ grams — a codegen kernel is the upgrade
-    * path if this ever reaches a scan-bound hot loop, like SimHashExpr
-    * replaced the explode formulation). */
+    * one fold, no map state. Part of the HOF parity reference for the
+    * codegen [[graft.functions.RepetitionExpr]] kernel (see
+    * [[withRepetitionHof]]). */
   private def maxFreq(sorted: Column): Column =
     aggregate(
       sorted,
@@ -141,8 +140,27 @@ object TextFeatures {
     * so the DuckDB oracle reproduces every count exactly; the ratios are
     * one int-int division each (single correctly-rounded IEEE op per
     * engine). Pure per-row column expressions: shuffle-free, scan-speed,
-    * fully column-pruned at 100 TB. */
+    * fully column-pruned at 100 TB.
+    *
+    * Runs as ONE codegen static call per row
+    * ([[graft.functions.RepetitionExpr]]: primitive gram buffers, one sort
+    * + run-length pass per k) — the interpreted-HOF chain it replaced
+    * (`aggregate` fold + `array_sort`/`array_distinct`, ~1µs/element with
+    * an UnsafeArrayData per step) is kept below as [[withRepetitionHof]]
+    * and bit-parity-proven in TextKernelParitySpec. */
   def withRepetition(df: DataFrame, text: String = "text"): DataFrame = {
+    val m = TextHash.repetitionMetrics(TextHash.tokenHashes(col(text)))
+    // coalesce mirrors the HOF's null-text behavior (its WHEN branches
+    // fall through to 0.0 on a null input instead of propagating null)
+    df.withColumn("_rep", m)
+      .withColumn("dup_2gram_frac", coalesce(col("_rep")(0), lit(0.0)))
+      .withColumn("dup_3gram_frac", coalesce(col("_rep")(1), lit(0.0)))
+      .withColumn("top_2gram_frac", coalesce(col("_rep")(2), lit(0.0)))
+      .drop("_rep")
+  }
+
+  /** HOF formulation of [[withRepetition]] (parity reference only). */
+  def withRepetitionHof(df: DataFrame, text: String = "text"): DataFrame = {
     val th = TextHash.tokenHashes(col(text))
     def gramFracs(k: Int): (Column, Column) = {
       val grams = TextHash.positionedShingleHashes(th, k)

@@ -26,4 +26,24 @@ class TextKernelParitySpec extends SparkSpec {
     val bad = cmp.where(!col("ph") || !col("th") || !col("sh") || !col("mh")).count()
     assert(bad == 0, s"$bad rows diverge between kernel and HOF formulations")
   }
+
+  test("repetition kernel == HOF formulation bit-for-bit on driver docs + edges") {
+    import spark.implicits._
+    val extra = Seq("", "  ", "one", "one two", "x x x x", "a b a b c",
+      " padded  words\t here ", null.asInstanceOf[String]).toDF("text")
+    val t = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).unionByName(extra)
+    // both formulations over the SAME rows (null text included — the HOF
+    // falls through its WHEN branches to 0.0, the kernel path coalesces)
+    val kern = graft.text.TextFeatures.withRepetition(t)
+      .withColumnRenamed("dup_2gram_frac", "k2")
+      .withColumnRenamed("dup_3gram_frac", "k3")
+      .withColumnRenamed("top_2gram_frac", "kt")
+    val both = graft.text.TextFeatures.withRepetitionHof(kern)
+    val bad = both.where(!(
+      (col("k2") <=> col("dup_2gram_frac")) &&
+        (col("k3") <=> col("dup_3gram_frac")) &&
+        (col("kt") <=> col("top_2gram_frac")))).count()
+    assert(bad == 0, s"$bad rows diverge between RepetitionExpr and the HOF chain")
+  }
 }
