@@ -204,6 +204,27 @@ object DocQueries {
     "q_mm_frames" -> ((sp, dir) =>
       Multimodal.sampleFrames(media(sp, dir), 1000)
         .groupBy(col("id")).agg(count(lit(1)).as("n_frames"))),
+    // REAL codec through the decode seam (VERDICT r3 stretch): payloads are
+    // genuine binary-PGM images (header + raster = the ASCII text bytes as
+    // a 1-row gray image); PgmCodec PARSES the header — the output width
+    // is len(text), NOT the declared meta width, so a green oracle proves
+    // actual bytes were decoded rather than metadata echoed.
+    "q_mm_decode_pgm" -> ((sp, dir) => {
+      val t = regexp_replace(col("text"), "[^ -~]", "")
+      val pgm = docs(sp, dir).select(
+        col("doc_id").as("id"),
+        lit("image").as("modality"),
+        concat(
+          encode(format_string("P5\n%d 1\n255\n", length(t)), "UTF-8"),
+          encode(t, "UTF-8")).as("media"),
+        struct(
+          (pmod(col("n_chars"), lit(1024)) + 16).cast("int").as("width"),
+          (pmod(col("n_chars"), lit(768)) + 16).cast("int").as("height"),
+          lit("pgm").as("codec"),
+          lit(0).cast("int").as("duration_ms")).as("meta"))
+      Multimodal.decodeFeatures(pgm, Multimodal.PgmCodec)
+        .select(col("id"), col("width"), col("height"), col("mean_luma"), col("n_bytes"))
+    }),
 
     // ---- deterministic sampling + sequence packing ----
     "q_smp_hash" -> ((sp, dir) =>
@@ -666,6 +687,17 @@ object DocQueries {
         s"""$MediaSql
            |SELECT id, ((duration_ms - 1) // 1000 + 1)::BIGINT AS n_frames
            |FROM m WHERE modality = 'video'""".stripMargin,
+      // decoded dims come from the PGM header: width = raster length =
+      // len(t), height = 1; n_bytes = 10 fixed header bytes ("P5\n",
+      // " 1\n255\n") + width digits + raster
+      "q_mm_decode_pgm" ->
+        s"""$MediaSql
+           |SELECT id, length(t)::INT AS width, 1::INT AS height,
+           |  CASE WHEN length(t) = 0 THEN 0.0 ELSE
+           |    list_reduce(list_prepend(0::BIGINT, list_transform(string_split(t, ''), c -> ascii(c)::BIGINT)), (a, b) -> a + b)::DOUBLE / length(t)
+           |  END AS mean_luma,
+           |  (10 + length(length(t)::VARCHAR) + length(t))::INT AS n_bytes
+           |FROM m""".stripMargin,
       "q_smp_hash" -> {
         // derive the affine pair exactly as TextHash.affine(x, 0) does
         val a = 2654435761L % TextHash.P * (2 * 0 + 1) % TextHash.P

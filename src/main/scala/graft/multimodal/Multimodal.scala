@@ -39,11 +39,20 @@ object Multimodal {
       ).as("meta")
     )
 
-  /** ??? decode seam — deterministic fake standing in for the real codec.
-    * Returns (decoded width, height, mean "pixel" value) purely from bytes. */
-  object StubCodec {
+  /** Pluggable decode kernel: payload bytes (+ declared metadata) →
+    * (decoded width, decoded height, mean luminance). Implementations must
+    * be Serializable — they ship inside the partition-map closure. */
+  trait MediaCodec extends Serializable {
+    def decode(payload: Array[Byte], declaredWidth: Int, declaredHeight: Int): (Int, Int, Double)
+  }
+
+  /** ??? decode seam — deterministic fake standing in for codecs the
+    * container lacks (JPEG/PNG/audio/video). Returns the DECLARED
+    * dimensions and byte-mean as "luminance". [[PgmCodec]] below is a real
+    * codec exercising the same seam on a pure-JVM format. */
+  object StubCodec extends MediaCodec {
     def decode(payload: Array[Byte], width: Int, height: Int): (Int, Int, Double) = {
-      // REAL CODEC GOES HERE (JNI / javacv). Stub: byte-mean as "luminance".
+      // REAL CODEC GOES HERE for formats needing native libs (JNI/javacv).
       var s = 0L
       var i = 0
       while (i < payload.length) { s += payload(i) & 0xff; i += 1 }
@@ -51,21 +60,68 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for binary PGM (P5) — pure JVM, no native deps: parses the
+    * `P5 <w> <h> <maxval>` header (whitespace/#-comment tolerant per the
+    * Netpbm spec, 8-bit maxval only) and averages the w·h gray samples.
+    * The returned dimensions come from the HEADER, not the declared
+    * metadata — a green oracle on this path proves actual bytes were
+    * decoded, not metadata echoed. */
+  object PgmCodec extends MediaCodec {
+    def decode(payload: Array[Byte], declaredWidth: Int, declaredHeight: Int): (Int, Int, Double) = {
+      var pos = 0
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"malformed PGM at byte $pos: $msg")
+      def skipSpace(): Unit = {
+        var going = true
+        while (going && pos < payload.length) {
+          val c = payload(pos)
+          if (c == '#') while (pos < payload.length && payload(pos) != '\n') pos += 1
+          else if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == 0x0b || c == '\f') pos += 1
+          else going = false
+        }
+      }
+      def int(): Int = {
+        skipSpace()
+        val start = pos
+        var v = 0
+        while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+          v = v * 10 + (payload(pos) - '0'); pos += 1
+        }
+        if (pos == start) fail("expected integer")
+        v
+      }
+      if (payload.length < 2 || payload(0) != 'P' || payload(1) != '5') fail("missing P5 magic")
+      pos = 2
+      val w = int()
+      val h = int()
+      val maxval = int()
+      if (maxval != 255) fail(s"only 8-bit maxval supported, got $maxval")
+      pos += 1 // exactly ONE whitespace byte separates header and raster
+      val n = w.toLong * h
+      if (payload.length - pos < n) fail(s"raster truncated: need $n, have ${payload.length - pos}")
+      var s = 0L
+      var i = 0
+      while (i < n) { s += payload(pos + i) & 0xff; i += 1 }
+      (w, h, if (n == 0) 0.0 else s.toDouble / n)
+    }
+  }
+
   case class MediaRow(id: Long, modality: String, media: Array[Byte], width: Int, height: Int)
   case class MediaFeatures(id: Long, modality: String, width: Int, height: Int, mean_luma: Double, n_bytes: Int)
 
   /** Batch decode — partition-at-a-time iteration (the `mapInPandas` shape:
-    * each partition is processed as one streaming batch; the stub kernel is
+    * each partition is processed as one streaming batch; the kernel is
     * called per element but a real codec would process the whole buffer).
-    * No driver collect, no shuffle. */
-  def decodeFeatures(df: DataFrame): DataFrame = {
+    * No driver collect, no shuffle. `codec` defaults to the stub;
+    * [[PgmCodec]] runs real bytes through the identical plumbing. */
+  def decodeFeatures(df: DataFrame, codec: MediaCodec = StubCodec): DataFrame = {
     val ds = df.select(
       col("id"), col("modality"), col("media"),
       col("meta.width").as("width"), col("meta.height").as("height")
     ).as(Encoders.product[MediaRow])
     ds.mapPartitions { it =>
       it.map { r =>
-        val (w, h, luma) = StubCodec.decode(r.media, r.width, r.height)
+        val (w, h, luma) = codec.decode(r.media, r.width, r.height)
         MediaFeatures(r.id, r.modality, w, h, luma, r.media.length)
       }
     }(Encoders.product[MediaFeatures]).toDF()
