@@ -83,18 +83,24 @@ object Bench {
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val times = (1 to queryReps).map { _ =>
           val t0 = System.nanoTime()
-          // a failed query must be LOUD (VERDICT r3 item 4a): it still gets
-          // a wall time (the loop continues) but lands in failed_queries
-          // and on stderr, so a healthy-looking JSON cannot hide it
-          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-          catch {
-            case t: Throwable =>
-              failedQueries += name
-              System.err.println(s"[bench] query $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
-          }
-          (System.nanoTime() - t0) / 1e9
+          // a failed query must be LOUD (VERDICT r3 item 4a): it lands in
+          // failed_queries and on stderr, and its (meaningless, usually
+          // fast) wall time is EXCLUDED from the min so a failure duration
+          // can't masquerade as a good benchmark number
+          val ok =
+            try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+            catch {
+              case t: Throwable =>
+                failedQueries += name
+                System.err.println(s"[bench] query $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+                false
+            }
+          (ok, (System.nanoTime() - t0) / 1e9)
         }
-        name -> times.min
+        val good = times.filter(_._1).map(_._2)
+        // -1 = no successful rep: unmissable in the JSON, never mistaken
+        // for a (fast) real timing
+        name -> (if (good.nonEmpty) good.min else -1.0)
       }
 
     // --- flagship token-throughput (1 warmup + reps, median) ---

@@ -354,6 +354,20 @@ object SparkEntry {
         .select(col("event_id"), col("asof_ts"), col("o_orderkey"), col("o_totalprice"))
     }),
 
+    // As-of banded — whale-entity splitting over (entity, 30-day band)
+    // groups with carry-row replication; exact backward semantics, bounded
+    // per-task rows. Same oracle as q_asof_orders.
+    "q_asof_orders_banded" -> ((sp, dir) => {
+      val probe = events(sp, dir).select(col("user_id"), col("ts"), col("event_id"))
+      val build = sp.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+          col("o_orderkey"), col("o_totalprice"))
+      graft.asof.AsOfBanded.backwardBanded(probe, build, "user_id", "ts",
+          Seq("o_orderkey", "o_totalprice"), bandSeconds = 30 * 86400.0,
+          buildOrder = Seq("o_orderkey"))
+        .select(col("event_id"), col("asof_ts"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // As-of directions — forward (earliest future-or-equal) and nearest
     // (min |Δt|, backward wins ties); both one-exchange-one-sort like
     // backward
@@ -703,6 +717,7 @@ object SparkEntry {
            |WHERE cast(t.ts AS date) >= seg_start""".stripMargin
       },
       "q_asof_orders_merge" -> backwardAsOfSql,
+      "q_asof_orders_banded" -> backwardAsOfSql,
       "q_asof_orders" -> backwardAsOfSql,
       "q_asof_forward" -> forwardAsOfSql,
       "q_asof_forward_merge" -> forwardAsOfSql,

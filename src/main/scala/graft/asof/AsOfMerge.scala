@@ -211,11 +211,12 @@ object AsOfMergeExec {
   * SortMergeJoin has, except AQE's skew-join splitting does NOT apply to
   * custom execs (OptimizeSkewedJoin pattern-matches SMJ/SHJ). A partition
   * whose row traffic crosses `spark.graft.asof.skewWarnRows` (default 1e8)
-  * logs a warning naming the mitigation: pre-split the whale entity (the
-  * lag-k overlap trick `Kinematic.withKinematicsSalted` uses) or run the
-  * windowed v1 salted variant for that slice. The walk itself stays O(n)
-  * with O(1) memory regardless — the cost is wall-clock serialization, not
-  * a buffering blow-up. */
+  * logs a warning naming the mitigation: [[AsOfBanded.backwardBanded]],
+  * which splits entities into (entity, time-band) groups with carry-row
+  * replication — exact backward semantics, bounded per-task rows
+  * (AsOfBandedSpec proves both). The walk itself stays O(n) with O(1)
+  * memory regardless — the cost is wall-clock serialization, not a
+  * buffering blow-up. */
 case class AsOfMergeExec(
     entity: String,
     ts: String,
@@ -334,7 +335,7 @@ case class AsOfMergeExec(
           org.slf4j.LoggerFactory.getLogger("graft.asof.AsOfMergeExec").warn(
             s"[graft] as-of merge partition exceeded $skewWarnRows rows — entity skew " +
               "serializes into one task (AQE skew split does not see custom execs); " +
-              "pre-split the whale entity or use the windowed salted variant " +
+              "use AsOfBanded.backwardBanded to split whale entities into time bands " +
               s"(threshold conf: ${AsOfMergeExec.SkewWarnRowsKey})")
         }
       }

@@ -203,11 +203,15 @@ object Dedup {
         // the valve observation sits on the ONE shared frame BOTH join
         // sides derive from: identical subtrees keep the two exchange
         // children canonically equal, so Spark plans a ReusedExchange and
-        // the banded lineage (posexplode + window count) is evaluated ONCE
-        // — and the metric therefore counts each dropped row once. (A
-        // one-sided observation broke that equality and doubled the whole
-        // lineage — ADVICE r3. Duplicate CollectMetrics names are legal
-        // precisely because the subtrees are identical.)
+        // the banded lineage (posexplode + window count) is evaluated ONCE.
+        // (A one-sided observation broke that equality and doubled the
+        // whole lineage — ADVICE r3. Duplicate CollectMetrics names are
+        // legal precisely because the subtrees are identical.) If exchange
+        // reuse is disabled (non-default conf) the lineage evaluates twice
+        // — a perf regression only: each metrics node still counts every
+        // dropped row exactly once over the full input, and the CapAudit
+        // listener dedups the identically-named rows, so the reported drop
+        // count stays correct either way.
         val kept = CapAudit
           .observeDrops(counted, when(col("_sz") > maxBucket, 1L).otherwise(0L),
             "banded_bucket_valve", "Dedup-band bucket sizes (raise maxBucket or re-band)")

@@ -86,6 +86,10 @@ object Multimodal {
         var v = 0
         while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
           v = v * 10 + (payload(pos) - '0'); pos += 1
+          // fail loudly instead of silently wrapping Int on hostile headers
+          // (a wrapped-negative width would also defeat the raster-length
+          // check below, since w.toLong * h goes negative)
+          if (v > 1000000000) fail("header integer exceeds 1e9")
         }
         if (pos == start) fail("expected integer")
         v

@@ -121,9 +121,15 @@ object StreamSessionize {
       if (st.lastTsMicros != Long.MinValue) {
         // event-time timeout must be registered strictly ahead of the
         // current watermark (Spark rejects a timestamp at/behind it);
-        // clamping to wm+1 evicts a straggler entity on the next batch
+        // clamping to wm+1 evicts a straggler entity on the next batch.
+        // micros→millis rounds UP: flooring would fire the timeout inside
+        // the idle horizon for sub-millisecond lastTs, and with
+        // idleStateTimeout == gap that could evict an entity whose next
+        // row is still within the gap (breaking the ≥-gap invariant the
+        // require() promises)
+        val lastTsMsCeil = Math.floorDiv(st.lastTsMicros + 999L, 1000L)
         state.setTimeoutTimestamp(
-          math.max(Math.floorDiv(st.lastTsMicros, 1000L) + ms, state.getCurrentWatermarkMs() + 1L))
+          math.max(lastTsMsCeil + ms, state.getCurrentWatermarkMs() + 1L))
       }
     }
     out.iterator

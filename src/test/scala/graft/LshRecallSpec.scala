@@ -58,11 +58,13 @@ class LshRecallSpec extends SparkSpec {
 
     val configs = Seq((16, 8), (16, 4), (32, 8)) // (numHashes, bands); r = n/b
     val report = new StringBuilder
+    val foundByConfig = scala.collection.mutable.Map.empty[(Int, Int), Set[(Long, Long)]]
     for ((nh, b) <- configs) {
       val r = nh / b
       val found = Dedup.minhashLshPairs(df, k = 3, numHashes = nh, bands = b,
           estThreshold = 0.0, eager = false)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      foundByConfig((nh, b)) = found
       for ((lo, hi) <- buckets) {
         val inB = truth.filter(t => t._3 >= lo && t._3 < hi)
         if (inB.nonEmpty) {
@@ -81,13 +83,11 @@ class LshRecallSpec extends SparkSpec {
     println("LSH planted-pair recall (mirror into BENCH.md §LSH recall):")
     print(report)
 
-    // the high-similarity bucket must be near-certain at the library's
-    // 16×8 (r=2) default shape, and r=4 must visibly sacrifice low-sim
-    // recall — the trade the sizing scaladoc documents
+    // the high-similarity bucket must be near-certain in the broad r=2
+    // shape (16×8); note the LIBRARY default is bands=4 (r=4), the strict
+    // near-dup shape — this spec's table is what to size against
     val rec16x8 = {
-      val found = Dedup.minhashLshPairs(df, k = 3, numHashes = 16, bands = 8,
-          estThreshold = 0.0, eager = false)
-        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val found = foundByConfig((16, 8))
       val hi = truth.filter(_._3 >= 0.8)
       hi.count(t => found.contains((t._1, t._2))).toDouble / hi.size
     }

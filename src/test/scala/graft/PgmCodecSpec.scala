@@ -45,6 +45,10 @@ class PgmCodecSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // 16-bit maxval unsupported
       Multimodal.PgmCodec.decode(pgm(1, 1, Array[Byte](1, 1), "P5\n1 1\n65535\n"), 1, 1)
     }
+    intercept[IllegalArgumentException] { // hostile width must not wrap Int
+      Multimodal.PgmCodec.decode(
+        pgm(1, 1, Array[Byte](1), "P5\n99999999999999 1\n255\n"), 1, 1)
+    }
   }
 
   test("decodeFeatures(PgmCodec) reports header dims, not declared metadata") {
