@@ -214,7 +214,9 @@ object Bench {
     Controls.release() // drop the 768 MiB probe working sets before exit
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum + flagshipSec
+    // -1 failure sentinels must not subtract from the headline total (a
+    // broken query would otherwise read as a phantom speedup)
+    val total = results.map(_._2).filter(_ >= 0).sum + flagshipSec
     val totalS = f"$total%.3f"
     val jsonLine =
       s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"tokens":$tokens,"flagship_sec":${f"$flagshipSec%.3f"},"tokens_per_sec":${tps.toLong},"flagship_reps_sec":${jarr(flagReps)},"flagship_rep_task_sec":${jarr(flagLegs.map(_._2))},"flagship_rep_alu_sec":${jarr(flagLegs.map(_._4))},"flagship_rep_membw_sec":${jarr(flagLegs.map(_._5))},"flagship_rep_chase_sec":${jarr(flagLegs.map(_._6))},"flagship_rep_disk_sec":${jarr(flagLegs.map(_._7))},"flagship_task_sec":${f"$flagTask%.3f"},"flagship_gc_sec":${f"$flagGc%.3f"},"tokens_per_task_sec":${tpts.toLong},"grouped_sec":${f"$groupedSec%.3f"},"grouped_tokens_per_sec":${gTps.toLong},"grouped_reps_sec":${jarr(grpReps)},"grouped_task_sec":${f"$grpTask%.3f"},"grouped_gc_sec":${f"$grpGc%.3f"},"grouped_tokens_per_task_sec":${gTpts.toLong},"grouped_rep_task_sec":${jarr(grpLegs.map(_._2))},"grouped_rep_alu_sec":${jarr(grpLegs.map(_._4))},"grouped_rep_membw_sec":${jarr(grpLegs.map(_._5))},"grouped_rep_chase_sec":${jarr(grpLegs.map(_._6))},"grouped_rep_disk_sec":${jarr(grpLegs.map(_._7))},"alu_control_sec":${f"$aluSec%.3f"},"membw_control_sec":${f"$membwSec%.3f"},"chase_control_sec":${f"$chaseSec%.3f"},"disk_control_sec":${f"$diskSec%.3f"},"window_buffer":$windowBuffer,"shuffle_write_bytes":$shufWriteRun,"shuffle_read_bytes":$shufReadRun,"grouped_shuffle_write_bytes":$gShufWrite,"shuffle_partitions":$shufflePartitions,"input_partitions":256,"query_reps":$queryReps,"failed_queries":$failedJson}"""

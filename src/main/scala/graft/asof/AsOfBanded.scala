@@ -26,13 +26,15 @@ import org.apache.spark.sql.functions._
   *
   * Cost: one extra narrow aggregate + window over band summaries and ~1
   * replicated build row per (entity, probe-band). Semantics caveat
-  * (documented, spec-pinned): event times with no micros image — null, and
-  * NaN/±Inf doubles — are banded to -∞ and never match; the unbanded walk
-  * gives NaN probes the sort-greatest v1 behavior when NO tolerance is
-  * set, so use the unbanded form if that quirk matters. Parity with
-  * [[AsOfMerge.backward]] is exact for finite event times
-  * (AsOfBandedSpec asserts exceptAll-equality with tolerance, tie-breaks,
-  * empty-band cascades, and null entities).
+  * (documented, spec-pinned): event times with no TIMESTAMP IMAGE — null;
+  * NaN/±Inf doubles; numeric keys whose seconds value overflows the
+  * timestamp-representable range (|ts| ≳ 3e11 s) — are banded to -∞ and
+  * never match, whereas the unbanded walk orders such keys raw (and gives
+  * NaN probes the sort-greatest v1 behavior when NO tolerance is set);
+  * use the unbanded form if those extremes matter. Parity with
+  * [[AsOfMerge.backward]] is exact for timestamp-representable event
+  * times (AsOfBandedSpec asserts exceptAll-equality with tolerance,
+  * tie-breaks, empty-band cascades, and null entities).
   */
 object AsOfBanded {
 

@@ -83,16 +83,18 @@ object Multimodal {
       def int(): Int = {
         skipSpace()
         val start = pos
-        var v = 0
+        // Long accumulator: an Int would wrap BEFORE the bound check could
+        // see it (e.g. 4294967296 wraps back into range), silently
+        // producing a garbage width — fail loudly on hostile headers
+        // instead (a wrapped-negative width would also defeat the
+        // raster-length check below, since w.toLong * h goes negative)
+        var v = 0L
         while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
-          v = v * 10 + (payload(pos) - '0'); pos += 1
-          // fail loudly instead of silently wrapping Int on hostile headers
-          // (a wrapped-negative width would also defeat the raster-length
-          // check below, since w.toLong * h goes negative)
-          if (v > 1000000000) fail("header integer exceeds 1e9")
+          v = v * 10L + (payload(pos) - '0'); pos += 1
+          if (v > 1000000000L) fail("header integer exceeds 1e9")
         }
         if (pos == start) fail("expected integer")
-        v
+        v.toInt
       }
       if (payload.length < 2 || payload(0) != 'P' || payload(1) != '5') fail("missing P5 magic")
       pos = 2

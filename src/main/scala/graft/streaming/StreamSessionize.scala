@@ -77,7 +77,9 @@ object StreamSessionize {
     typed
       .groupByKey(_.entity)(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        assignBatch(gapMicros, idleStateTimeoutSec.map(t => (t * 1000).toLong))
+        // ceil: flooring a fractional-millisecond horizon (with the ceil'd
+        // lastTs registration) could still evict inside the gap
+        assignBatch(gapMicros, idleStateTimeoutSec.map(t => math.ceil(t * 1000).toLong))
       )(Encoders.product[SessState], Encoders.product[SessionAssign])
   }
 

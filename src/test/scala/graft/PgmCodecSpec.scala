@@ -49,6 +49,14 @@ class PgmCodecSpec extends SparkSpec {
       Multimodal.PgmCodec.decode(
         pgm(1, 1, Array[Byte](1), "P5\n99999999999999 1\n255\n"), 1, 1)
     }
+    intercept[IllegalArgumentException] { // 2^32: wraps an Int back to 0
+      Multimodal.PgmCodec.decode(
+        pgm(1, 1, Array[Byte](1), "P5\n4294967296 1\n255\n"), 1, 1)
+    }
+    intercept[IllegalArgumentException] { // 3e9: wraps an Int negative
+      Multimodal.PgmCodec.decode(
+        pgm(1, 1, Array[Byte](1), "P5\n3000000000 1\n255\n"), 1, 1)
+    }
   }
 
   test("decodeFeatures(PgmCodec) reports header dims, not declared metadata") {
