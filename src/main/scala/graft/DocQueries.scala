@@ -110,6 +110,19 @@ object DocQueries {
     "q_txt_repetition" -> ((sp, dir) =>
       TextFeatures.withRepetition(docs(sp, dir))
         .select(col("doc_id"), col("dup_2gram_frac"), col("dup_3gram_frac"), col("top_2gram_frac"))),
+    // corpus-level unigram-LM quality score (CCNet-style): ln is the one
+    // non-exact-IEEE op in the chain, so the mean rounds at 6 dp (values
+    // ~O(10), accumulated error ~1e-13 ≪ the 5e-7 boundary)
+    "q_txt_unigram" -> ((sp, dir) =>
+      graft.text.CorpusStats.unigramLogProb(docs(sp, dir))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"), r(col("logprob"), 6).as("logprob"))),
+    // TF-IDF top-5 terms per doc; RANKS on the exact double score (ties are
+    // exact equal-(tf,df) ties in both engines → term tie-break), rounds
+    // only the reported score
+    "q_txt_tfidf" -> ((sp, dir) =>
+      graft.text.CorpusStats.tfidfTopK(docs(sp, dir), k = 5)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          r(col("tfidf"), 6).as("tfidf"), col("rank"))),
 
     // ---- dedup ----
     "q_dedup_exact" -> ((sp, dir) => Dedup.exact(docs(sp, dir))),
@@ -137,6 +150,10 @@ object DocQueries {
       val d = docs(sp, dir)
       Dedup.contaminationSpans(d.where(col("doc_id") >= 20), d.where(col("doc_id") < 20), k = 3)
     }),
+    // corpus-internal boilerplate spans: token positions of 3-shingles with
+    // document frequency ≥ 5 (the fixed-n-gram exact-substring-dedup view)
+    "q_dedup_boilerplate" -> ((sp, dir) =>
+      Dedup.boilerplateSpans(docs(sp, dir), minDf = 5)),
     // benchmark decontamination: docs (id ≥ 20) sharing any 3-shingle with
     // the pretend eval set (id < 20)
     "q_dedup_decontam" -> ((sp, dir) => {
@@ -426,6 +443,43 @@ object DocQueries {
            |  coalesce((m3.n - m3.d)::DOUBLE / m3.n::DOUBLE, 0.0) AS dup_3gram_frac,
            |  coalesce(m2.m::DOUBLE / m2.n::DOUBLE, 0.0) AS top_2gram_frac
            |FROM t LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)""".stripMargin,
+      "q_txt_unigram" ->
+        s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+           |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+           |c AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+           |vocab AS (SELECT tok, c FROM c ORDER BY c DESC, tok LIMIT 65536),
+           |tot AS (SELECT sum(c)::BIGINT AS total FROM c)
+           |SELECT u.doc_id, count(*) AS n_tokens,
+           |  sum(CASE WHEN v.c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           |  round(avg(-ln(coalesce(v.c, 1)::DOUBLE / total::DOUBLE)), 6) + 0.0 AS logprob
+           |FROM u LEFT JOIN vocab v USING (tok) CROSS JOIN tot
+           |GROUP BY u.doc_id""".stripMargin,
+      "q_txt_tfidf" ->
+        s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+           |u AS (SELECT doc_id, unnest(toks) AS term FROM t),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM u GROUP BY 1, 2),
+           |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |s AS (
+           |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+           |    tf.tf * (ln((n_docs + 1)::DOUBLE / (df + 1)::DOUBLE) + 1.0) AS tfidf
+           |  FROM tf JOIN dfq USING (term) CROSS JOIN n
+           |),
+           |r AS (SELECT *, cast(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank FROM s)
+           |SELECT doc_id, term, tf, df, round(tfidf, 6) + 0.0 AS tfidf, rank
+           |FROM r WHERE rank <= 5""".stripMargin,
+      "q_dedup_boilerplate" ->
+        s"""WITH t AS (SELECT doc_id, $sqlWordHashes AS wh FROM documents),
+           |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+           |inv AS (SELECT doc_id, unnest(sh) AS x FROM s),
+           |hot AS (SELECT x, count(*) AS df FROM inv GROUP BY x HAVING count(*) >= 5),
+           |pos AS (
+           |  SELECT doc_id, cast(i - 1 AS INT) AS tok_pos,
+           |    (((wh[i] * 31 + wh[i+1]) % $P) * 31 + wh[i+2]) % $P AS x
+           |  FROM t, unnest(generate_series(1, len(wh) - 2)) AS g(i)
+           |)
+           |SELECT pos.doc_id, pos.tok_pos, pos.x AS sh, hot.df
+           |FROM pos JOIN hot USING (x)""".stripMargin,
       "q_dedup_decontam_spans" ->
         s"""WITH t AS (SELECT doc_id, $sqlWordHashes AS wh FROM documents),
            |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),

@@ -157,6 +157,47 @@ object Dedup {
       .select(col(id), col("tok_pos"), col("sh"))
   }
 
+  /** Corpus-internal BOILERPLATE spans: token positions of k-word shingles
+    * whose document frequency is ≥ `minDf` — the fixed-length-n-gram
+    * approximation of exact-substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): headers, footers,
+    * license blocks and navigation chrome repeat VERBATIM across documents,
+    * and a scrub stage excises exactly these spans instead of dropping the
+    * documents that carry them. This is [[contaminationSpans]] with the
+    * "benchmark" derived from the corpus itself: the hot set.
+    *
+    * 100-TB shape: one map-side-combinable df aggregate over the distinct
+    * per-doc shingles (the only corpus shuffle, shingle-keyed); the hot set
+    * is bounded by construction (|hot| ≤ total doc-shingles / minDf) and
+    * additionally capped at `maxSetSize` by (df desc, sh asc) — TakeOrdered,
+    * no global sort — so the scoring join always broadcasts. Span emission
+    * is then a scan + broadcast semi-join, zero further corpus shuffle.
+    *
+    * Output: (id, tok_pos, sh, df) — one row per boilerplate shingle SLOT
+    * (0-based start token). */
+  def boilerplateSpans(
+      corpus: DataFrame,
+      minDf: Int,
+      k: Int = 3,
+      id: String = "doc_id",
+      text: String = "text",
+      maxSetSize: Int = 1 << 20
+  ): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2 (a df-1 shingle is not boilerplate), got $minDf")
+    require(maxSetSize > 0, s"maxSetSize must be positive, got $maxSetSize")
+    val hot = shingles(corpus, k, id, text)
+      .select(explode(col("shingles")).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .orderBy(col("df").desc, col("sh").asc).limit(maxSetSize)
+    val positioned = corpus.select(
+      col(id),
+      posexplode(TextHash.positionedShingleHashes(TextHash.tokenHashes(col(text)), k))
+        .as(Seq("tok_pos", "sh")))
+    positioned.join(broadcast(hot), Seq("sh"))
+      .select(col(id), col("tok_pos"), col("sh"), col("df"))
+  }
+
   /** MinHash signatures (numHashes affine permutations over the shingle
     * set). Output: (id, sig array<long>). */
   def minhashSignatures(

@@ -1,0 +1,107 @@
+package graft.text
+
+import graft.functions.TextHash
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text statistics — quality signals that need a pass over the
+  * WHOLE corpus before they can score a single document (unlike the
+  * per-row features in [[TextFeatures]]). Both operators here follow the
+  * same 100-TB shape: one map-side-combinable aggregate builds a
+  * vocabulary-sized side table, the side table is capped to a broadcastable
+  * bound, and scoring is a broadcast join over the exploded token stream —
+  * the corpus itself is never shuffled at data scale (explode keeps a
+  * document's tokens contiguous, so the per-doc re-aggregation collapses in
+  * the partial-agg stage and only #docs-sized rows cross the wire).
+  */
+object CorpusStats {
+
+  /** CCNet-style unigram language-model quality score: the mean negative
+    * log-likelihood of a document's tokens under the corpus unigram
+    * distribution. High scores mark documents full of rare garbage tokens;
+    * low scores mark natural, in-distribution text — the classic cheap
+    * proxy for "would a real LM find this document surprising".
+    *
+    * Definition (engine-portable, mirrored op-for-op by the DuckDB oracle):
+    * with `c(w)` = corpus count of token `w` over the top-`vocabCap` tokens
+    * (ranked by count desc, token asc — deterministic) and `T` = TOTAL
+    * token count (including out-of-vocabulary tokens),
+    * `score(d) = mean over tokens w of −ln(max(c(w), 1) / T)` — an OOV
+    * token scores as a count-1 singleton. `vocabCap` (default 2^16) bounds
+    * the broadcast side at web scale the same way IVF's `trainCap` bounds
+    * Lloyd training; it is inactive at test scale but mirrored in the
+    * oracle so parity survives corpus growth.
+    *
+    * Output: (id, n_tokens, n_oov, logprob) for every document with ≥1
+    * token. `logprob` is exact (unrounded) — callers round to their grid.
+    */
+  def unigramLogProb(
+      df: DataFrame,
+      id: String = "doc_id",
+      text: String = "text",
+      vocabCap: Int = 65536
+  ): DataFrame = {
+    require(vocabCap > 0, s"vocabCap must be positive, got $vocabCap")
+    val toks = df.select(col(id), explode(TextHash.tokens(col(text))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // top-vocabCap by (count desc, token asc): TakeOrdered — per-partition
+    // top-N + driver merge, no global sort shuffle
+    val vocab = counts.orderBy(col("c").desc, col("tok").asc).limit(vocabCap)
+    // total over ALL tokens (pre-cap): OOV probability mass stays honest
+    val totals = counts.agg(sum(col("c")).as("total"))
+    toks
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"),
+        avg(-log(coalesce(col("c"), lit(1L)).cast("double") / col("total").cast("double")))
+          .as("logprob"))
+  }
+
+  /** TF-IDF top-`k` terms per document — the standard keyword/topic surface
+    * a curation pipeline keys on (dedup explanations, topic balancing,
+    * boilerplate diagnosis).
+    *
+    * `tfidf(d, w) = tf(d, w) · (ln((N + 1) / (df(w) + 1)) + 1)` — the
+    * smoothed formulation, so df = N (a term in every document) still
+    * scores > 0 and df + 1 never divides by zero. Ranking is per-document
+    * by (tfidf desc, term asc); ties across equal (tf, df) pairs are exact
+    * double ties in both engines, so the term tie-break makes row_number
+    * deterministic.
+    *
+    * Plan shape: the (id, term) tf aggregate is the ONE corpus-sized
+    * shuffle (map-side combinable); df re-aggregates the tf result by term
+    * (vocabulary-sized, reuses the tf exchange) and joins back broadcast;
+    * the top-k window partitions by document — its input is already
+    * tf-aggregated, #distinct-terms-per-doc rows, not token-stream-sized.
+    *
+    * Output: (id, term, tf, df, tfidf, rank), rank ∈ [1, k]; `tfidf` exact
+    * (unrounded).
+    */
+  def tfidfTopK(
+      df: DataFrame,
+      k: Int = 5,
+      id: String = "doc_id",
+      text: String = "text"
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = df.select(col(id), explode(TextHash.tokens(col(text))).as("term"))
+    val tf = toks.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "tfidf",
+        col("tf") * (log((col("n_docs") + 1L).cast("double") / (col("df") + 1L).cast("double")) + 1.0))
+    val w = Window.partitionBy(col(id)).orderBy(col("tfidf").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(id), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
+}
