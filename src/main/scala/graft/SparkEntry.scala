@@ -368,6 +368,29 @@ object SparkEntry {
         .select(col("event_id"), col("asof_ts"), col("o_orderkey"), col("o_totalprice"))
     }),
 
+    // banded FORWARD/NEAREST — same whale-splitting, mirrored/two-sided
+    // carries; same oracles as the unbanded directions
+    "q_asof_forward_banded" -> ((sp, dir) => {
+      val probe = events(sp, dir).select(col("user_id"), col("ts"), col("event_id"))
+      val build = sp.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+          col("o_orderkey"), col("o_totalprice"))
+      graft.asof.AsOfBanded.forwardBanded(probe, build, "user_id", "ts",
+          Seq("o_orderkey", "o_totalprice"), bandSeconds = 30 * 86400.0,
+          buildOrder = Seq("o_orderkey"))
+        .select(col("event_id"), col("asof_ts"), col("o_orderkey"), col("o_totalprice"))
+    }),
+    "q_asof_nearest_banded" -> ((sp, dir) => {
+      val probe = events(sp, dir).select(col("user_id"), col("ts"), col("event_id"))
+      val build = sp.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+          col("o_orderkey"), col("o_totalprice"))
+      graft.asof.AsOfBanded.nearestBanded(probe, build, "user_id", "ts",
+          Seq("o_orderkey", "o_totalprice"), bandSeconds = 30 * 86400.0,
+          buildOrder = Seq("o_orderkey"))
+        .select(col("event_id"), col("asof_ts"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // As-of directions — forward (earliest future-or-equal) and nearest
     // (min |Δt|, backward wins ties); both one-exchange-one-sort like
     // backward
@@ -719,6 +742,8 @@ object SparkEntry {
       "q_asof_orders_merge" -> backwardAsOfSql,
       "q_asof_orders_banded" -> backwardAsOfSql,
       "q_asof_orders" -> backwardAsOfSql,
+      "q_asof_forward_banded" -> forwardAsOfSql,
+      "q_asof_nearest_banded" -> nearestAsOfSql,
       "q_asof_forward" -> forwardAsOfSql,
       "q_asof_forward_merge" -> forwardAsOfSql,
       "q_asof_nearest" -> nearestAsOfSql,

@@ -45,6 +45,48 @@ class AsOfBandedSpec extends SparkSpec {
     }
   }
 
+  test("forward and nearest banded ≡ their unbanded merges across band sizes") {
+    val (probe, build) = frames
+    for (bandSec <- Seq(50.0, 500.0, 1e9); tol <- Seq(-1.0, 400.0)) {
+      val fwd = AsOfBanded.forwardBanded(
+        probe, build, "entity", "ts", Seq("bid", "v"), bandSec, tol, Seq("bid"))
+      assertSame(fwd,
+        AsOfMerge.forward(probe, build, "entity", "ts", Seq("bid", "v"), tol, Seq("bid")),
+        s"forward band=$bandSec tol=$tol vs merge")
+      assertSame(fwd,
+        AsOfJoin.forward(probe, build, "entity", "ts", Seq("bid", "v"), tol, Seq("bid")),
+        s"forward band=$bandSec tol=$tol vs v1")
+      val near = AsOfBanded.nearestBanded(
+        probe, build, "entity", "ts", Seq("bid", "v"), bandSec, tol, Seq("bid"))
+      assertSame(near,
+        AsOfMerge.nearest(probe, build, "entity", "ts", Seq("bid", "v"), tol, Seq("bid")),
+        s"nearest band=$bandSec tol=$tol vs merge")
+      assertSame(near,
+        AsOfJoin.nearest(probe, build, "entity", "ts", Seq("bid", "v"), tol, Seq("bid")),
+        s"nearest band=$bandSec tol=$tol vs v1")
+    }
+  }
+
+  test("forward/nearest carries cascade across empty bands in both directions") {
+    val sq = spark
+    import sq.implicits._
+    // builds only at the extremes; probes spread across many empty bands:
+    // forward must back-fill from the late build, nearest must pick the
+    // closer extreme per probe (backward on ties)
+    val probe = (0 until 20).map(i => ("a", 100.0 + i * 100.0, i.toLong)).toDF("entity", "ts", "pid")
+    val build = Seq(("a", 5.0, 1L), ("a", 3000.0, 2L)).toDF("entity", "ts", "bid")
+    val fwd = AsOfBanded.forwardBanded(probe, build, "entity", "ts", Seq("bid"), bandSeconds = 30.0)
+    // probes at ts ≤ 3000 get bid 2; later ones unmatched
+    assert(fwd.where(col("bid") === 2L).count() == probe.where(col("ts") <= 3000.0).count())
+    assert(fwd.where(col("bid").isNull).count() == probe.where(col("ts") > 3000.0).count())
+    val near = AsOfBanded.nearestBanded(probe, build, "entity", "ts", Seq("bid"), bandSeconds = 30.0)
+    val exp = AsOfMerge.nearest(probe, build, "entity", "ts", Seq("bid"))
+    assertSame(near, exp, "nearest across empty bands")
+    // midpoint check: |Δ| to build 1 vs build 2 crosses at ts ≈ 1502.5
+    assert(near.where(col("pid") === 13L).select("bid").head().getLong(0) == 1L) // ts=1400
+    assert(near.where(col("pid") === 15L).select("bid").head().getLong(0) == 2L) // ts=1600
+  }
+
   test("carry cascades across probe bands with no build rows at all") {
     val sq = spark
     import sq.implicits._
