@@ -88,6 +88,44 @@ object DocQueries {
       .map(p => s"(CASE WHEN ${sqlLshPlaneSum(v, p)} > 0.0 THEN ${1L << p} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
+  /** Shared connected-components CTE chain (minhash sigs → LSH pairs →
+    * undirected edges → recursive min-label closure). Ends at `lab(node,
+    * label)`; callers select their own output shape. */
+  private val sqlClusterCtes: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, $sqlWordHashes AS wh FROM documents),
+       |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+       |sigs AS (SELECT doc_id, [${sqlMinhashAt("i")} for i in generate_series(0, 15)] AS sig FROM s),
+       |lshp AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |  WHERE (a.sig[1:4] = b.sig[1:4] OR a.sig[5:8] = b.sig[5:8]
+       |      OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16])
+       |    AND len(list_filter([a.sig[i] = b.sig[i] for i in generate_series(1, 16)], x -> x))::DOUBLE / 16 >= 0.25
+       |),
+       |und AS (SELECT id_a AS src, id_b AS dst FROM lshp UNION SELECT id_b AS src, id_a AS dst FROM lshp),
+       |nodes AS (SELECT DISTINCT src AS node FROM und),
+       |cc AS (
+       |  SELECT node, node AS label FROM nodes
+       |  UNION
+       |  SELECT u.dst AS node, cc.label FROM cc JOIN und u ON u.src = cc.node WHERE cc.label < u.dst
+       |),
+       |lab AS (SELECT node, min(label) AS label FROM cc GROUP BY node)""".stripMargin
+
+  /** `qs(doc_id, source, quality_score)` — the quality-score pipeline of
+    * q_txt_quality inlined (each named ratio substituted verbatim, so every
+    * IEEE op and its order is unchanged). */
+  private val sqlQualityScoreCte: String =
+    s"""qt AS (SELECT doc_id, source, text, length(text)::DOUBLE AS lc, $sqlToks AS toks FROM documents),
+       |qs AS (
+       |  SELECT doc_id, source,
+       |    greatest(0.0, 1.0
+       |      - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / lc * 2.0
+       |      - (length(text) - length(regexp_replace(text, '[^0-9A-Za-z\\s]', '', 'g')))::DOUBLE / lc * 2.0
+       |      - abs((CASE WHEN len(toks) > 0 THEN
+       |          list_reduce(list_prepend(0::BIGINT, list_transform(toks, w -> length(w)::BIGINT)), (a, b) -> a + b)::DOUBLE / len(toks)
+       |        END) - 5.5) / 10.0) AS quality_score
+       |  FROM qt)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----
     "q_txt_quality" -> ((sp, dir) =>
@@ -142,6 +180,16 @@ object DocQueries {
       val d = docs(sp, dir)
       Dedup.dupClusters(
         Dedup.minhashLshPairs(d, k = 3, numHashes = 16, bands = 4, estThreshold = 0.25), d)
+    }),
+    // quality-aware representative election over the same clusters: keep
+    // the highest-quality member, not the smallest id
+    "q_dedup_keep_best" -> ((sp, dir) => {
+      val d = docs(sp, dir)
+      val clusters = Dedup.dupClusters(
+        Dedup.minhashLshPairs(d, k = 3, numHashes = 16, bands = 4, estThreshold = 0.25), d)
+      val scores = TextFeatures.withQuality(d).select(col("doc_id"), col("quality_score").as("score"))
+      Dedup.keepBest(clusters, scores)
+        .select(col("doc_id"), col("cluster_id"), col("score"), col("keep_best"))
     }),
 
     // span-level decontamination: the token positions at which corpus docs
@@ -251,6 +299,32 @@ object DocQueries {
       graft.sample.Sampling.stratified(docs(sp, dir), "lang",
           Map("en" -> 0.5, "de" -> 0.2), key = "doc_id", defaultFraction = 0.05)
         .select(col("doc_id"), col("lang"))),
+    // temperature-scaled mixture (τ = 0.5 → sqrt weights, bit-portable):
+    // up-weights the tail languages, overall keep rate 20%
+    "q_smp_mixture" -> ((sp, dir) =>
+      graft.sample.Sampling.byMixture(docs(sp, dir), "lang",
+          temperature = 0.5, targetFraction = 0.2, key = "doc_id")
+        .select(col("doc_id"), col("lang"))),
+    // per-source quality gate: keep the best 40% of each source by
+    // quality_score (exact rank mode — the oracle-checkable path; the
+    // 100-TB default is the approx_percentile threshold mode)
+    "q_txt_quality_gate" -> ((sp, dir) =>
+      graft.text.CorpusStats.qualityGate(
+          TextFeatures.withQuality(docs(sp, dir)), "quality_score", "source",
+          keepFraction = 0.4, exact = true)
+        .select(col("doc_id"), col("source"), col("quality_score"))),
+    // context-window chunking with overlap: maxLen 128, overlap 16; emits
+    // the actual token slices (chunk concatenation at overlap 0 is the
+    // round-trip invariant — TokenChunkSpec)
+    "q_tok_chunks" -> ((sp, dir) => {
+      val seqs = docs(sp, dir)
+        .select(col("doc_id"), TextHash.tokenHashes(col("text")).as("tokens"))
+        .withColumn("n_tok", size(col("tokens")))
+      graft.sample.TokenPacking.chunkTokens(seqs, "tokens", maxLen = 128, overlap = 16)
+        .select(col("doc_id"), col("chunk_id"), col("tok_start"), col("tok_len"),
+          posexplode(col("chunk_tokens")).as(Seq("pos", "token")))
+        .withColumn("pos", col("pos").cast("long"))
+    }),
     "q_tok_packing" -> ((sp, dir) => {
       val seqs = docs(sp, dir).select(
         col("doc_id"), col("lang").as("source"),
@@ -613,27 +687,22 @@ object DocQueries {
            |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $maxHamming""".stripMargin
       },
       "q_dedup_clusters" ->
-        s"""WITH RECURSIVE t AS (SELECT doc_id, $sqlWordHashes AS wh FROM documents),
-           |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
-           |sigs AS (SELECT doc_id, [${sqlMinhashAt("i")} for i in generate_series(0, 15)] AS sig FROM s),
-           |lshp AS (
-           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-           |  WHERE (a.sig[1:4] = b.sig[1:4] OR a.sig[5:8] = b.sig[5:8]
-           |      OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16])
-           |    AND len(list_filter([a.sig[i] = b.sig[i] for i in generate_series(1, 16)], x -> x))::DOUBLE / 16 >= 0.25
-           |),
-           |und AS (SELECT id_a AS src, id_b AS dst FROM lshp UNION SELECT id_b AS src, id_a AS dst FROM lshp),
-           |nodes AS (SELECT DISTINCT src AS node FROM und),
-           |cc AS (
-           |  SELECT node, node AS label FROM nodes
-           |  UNION
-           |  SELECT u.dst AS node, cc.label FROM cc JOIN und u ON u.src = cc.node WHERE cc.label < u.dst
-           |),
-           |lab AS (SELECT node, min(label) AS label FROM cc GROUP BY node)
+        s"""$sqlClusterCtes
            |SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id,
            |       coalesce(l.label, d.doc_id) = d.doc_id AS keep
            |FROM documents d LEFT JOIN lab l ON l.node = d.doc_id""".stripMargin,
+      // same cluster CTEs + the quality score — representative = max score,
+      // doc_id tie-break (op-for-op mirror of Dedup.keepBest's window)
+      "q_dedup_keep_best" ->
+        s"""$sqlClusterCtes,
+           |cl AS (
+           |  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id
+           |  FROM documents d LEFT JOIN lab l ON l.node = d.doc_id),
+           |$sqlQualityScoreCte
+           |SELECT cl.doc_id, cl.cluster_id, qs.quality_score AS score,
+           |  row_number() OVER (PARTITION BY cl.cluster_id
+           |    ORDER BY qs.quality_score DESC NULLS LAST, cl.doc_id ASC) = 1 AS keep_best
+           |FROM cl LEFT JOIN qs ON qs.doc_id = cl.doc_id""".stripMargin,
       "q_sim_ivf_topk" -> {
         // op-for-op mirror of Similarity.ivfTopK(nCentroids=16, nProbe=4,
         // k=5, 2 Lloyd rounds): affine-ranked seeds, argmin assignment on
@@ -768,6 +837,37 @@ object DocQueries {
            |       WHEN lang = 'de' THEN ${(0.2 * 1000000).toLong}
            |       ELSE ${(0.05 * 1000000).toLong} END""".stripMargin
       },
+      "q_smp_mixture" -> {
+        // τ = 0.5 mixture over lang at overall rate 0.2 — sqrt/÷/× are all
+        // correctly-rounded IEEE ops and the weight fold is ORDER-FIXED
+        // (strata ascending), so thresholds are bit-identical cross-engine
+        val a = 2654435761L % TextHash.P * (2 * 0 + 1) % TextHash.P
+        val b = (40503L * (0 + 1)) % TextHash.P
+        s"""WITH n AS (SELECT lang AS s, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+           |tot AS (SELECT sum(n)::BIGINT AS nt FROM n),
+           |w AS (SELECT s, n, sqrt(n::DOUBLE / nt::DOUBLE) AS w FROM n, tot),
+           |sw AS (SELECT list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY s ASC)), (x, y) -> x + y) AS sumw FROM w),
+           |f AS (SELECT s, CAST(floor(least(1.0, 0.2 * (w / sumw) * nt::DOUBLE / n::DOUBLE) * 1000000) AS BIGINT) AS thr
+           |      FROM w, sw, tot)
+           |SELECT d.doc_id, d.lang FROM documents d JOIN f ON f.s = d.lang
+           |WHERE ((doc_id % $P) * $a % $P + $b) % $P % 1000000 < f.thr""".stripMargin
+      },
+      "q_txt_quality_gate" ->
+        s"""WITH $sqlQualityScoreCte,
+           |g AS (
+           |  SELECT doc_id, source, quality_score,
+           |    row_number() OVER (PARTITION BY source ORDER BY quality_score DESC NULLS LAST, doc_id ASC) AS rn,
+           |    count(*) OVER (PARTITION BY source) AS n
+           |  FROM qs)
+           |SELECT doc_id, source, quality_score FROM g WHERE rn <= ceil(0.4 * n)""".stripMargin,
+      "q_tok_chunks" ->
+        s"""WITH t AS (SELECT doc_id, $sqlWordHashes AS wh FROM documents),
+           |n AS (SELECT doc_id, wh, len(wh)::BIGINT AS n FROM t WHERE len(wh) > 0),
+           |c AS (SELECT doc_id, wh, n, g.i AS chunk_id
+           |      FROM n, unnest(generate_series(0, greatest(0::BIGINT, CAST(floor((n - 128 + 111)::DOUBLE / 112) AS BIGINT)))) AS g(i)),
+           |ch AS (SELECT doc_id, wh, chunk_id, chunk_id * 112 AS tok_start, least(128, n - chunk_id * 112) AS tok_len FROM c)
+           |SELECT doc_id, chunk_id, tok_start, tok_len, p.j - 1 AS pos, wh[(tok_start + p.j)::INT] AS token
+           |FROM ch, unnest(generate_series(1, tok_len)) AS p(j)""".stripMargin,
       "q_tok_packing" ->
         s"""WITH t AS (SELECT doc_id, lang AS source, len($sqlWordHashes) AS n_tok FROM documents),
            |c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM t)

@@ -38,6 +38,22 @@ object SparkEntry {
   def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
 
+  /** Order validity windows for the interval-join queries: [orderdate,
+    * orderdate + (orderkey mod 7 + 1) days) — deterministic multi-day,
+    * naturally overlapping per customer (micros arithmetic; the oracle
+    * mirrors with `+ n * INTERVAL 1 DAY`, identical instants under the
+    * pinned UTC session). */
+  private def orderIntervals(sp: SparkSession, dir: String): DataFrame = {
+    val orders = sp.read.parquet(s"$dir/orders.parquet")
+    val tsType = orders.schema("o_orderdate").dataType
+    orders.select(
+      col("o_custkey").as("user_id"),
+      col("o_orderdate").as("iv_start"),
+      graft.core.Times.fromMicros(graft.core.Times.micros(col("o_orderdate")) +
+        (pmod(col("o_orderkey"), lit(7L)) + 1L) * 86400000000L, tsType).as("iv_end"),
+      col("o_orderkey"), col("o_totalprice"))
+  }
+
   /** Entity grid with exact-arithmetic lat/lon channels (~1° box). */
   def traj(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir).select(
@@ -391,6 +407,27 @@ object SparkEntry {
         .select(col("event_id"), col("asof_ts"), col("o_orderkey"), col("o_totalprice"))
     }),
 
+    // Point-in-interval join — events matched to multi-day order validity
+    // windows [orderdate, orderdate + 1..7 days). q_asof_interval is the
+    // general banded range join (exact under overlap); _align is the as-of
+    // reduction with its own "latest start ≤ ts, if still open" semantics.
+    "q_asof_interval" -> ((sp, dir) => {
+      val probe = events(sp, dir).select(col("event_id"), col("user_id"), col("ts"))
+      graft.asof.IntervalJoin.banded(probe, orderIntervals(sp, dir), "user_id", "ts",
+          "iv_start", "iv_end", Seq("o_orderkey", "o_totalprice"),
+          probeKey = "event_id", bandSec = 7 * 86400.0, buildOrder = Seq("o_orderkey"))
+        .select(col("event_id"), col("interval_start"), col("interval_end"),
+          col("o_orderkey"), col("o_totalprice"))
+    }),
+    "q_asof_interval_align" -> ((sp, dir) => {
+      val probe = events(sp, dir).select(col("event_id"), col("user_id"), col("ts"))
+      graft.asof.IntervalJoin.align(probe, orderIntervals(sp, dir), "user_id", "ts",
+          "iv_start", "iv_end", Seq("o_orderkey", "o_totalprice"),
+          buildOrder = Seq("o_orderkey"))
+        .select(col("event_id"), col("interval_start"), col("interval_end"),
+          col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // As-of directions — forward (earliest future-or-equal) and nearest
     // (min |Δt|, backward wins ties); both one-exchange-one-sort like
     // backward
@@ -562,7 +599,37 @@ object SparkEntry {
           |)
           |SELECT e.event_id, r.o_orderdate AS asof_ts, r.o_orderkey, r.o_totalprice
           |FROM events e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rk = 1""".stripMargin
+    // order validity windows (mirror of orderIntervals)
+    val intervalIvSql =
+      """iv AS (
+        |  SELECT o_custkey AS user_id, o_orderdate AS s,
+        |         o_orderdate + (o_orderkey % 7 + 1) * INTERVAL 1 DAY AS e,
+        |         o_orderkey, o_totalprice
+        |  FROM orders)""".stripMargin
+    val intervalSql =
+      s"""WITH $intervalIvSql
+         |SELECT e2.event_id, iv.s AS interval_start, iv.e AS interval_end,
+         |       iv.o_orderkey, iv.o_totalprice
+         |FROM events e2 LEFT JOIN iv
+         |  ON iv.user_id = e2.user_id AND iv.s <= e2.ts AND e2.ts < iv.e
+         |QUALIFY row_number() OVER (PARTITION BY e2.event_id
+         |  ORDER BY iv.s DESC NULLS LAST, iv.o_orderkey DESC NULLS LAST) = 1""".stripMargin
+    val intervalAlignSql =
+      s"""WITH $intervalIvSql,
+         |cand AS (
+         |  SELECT e2.event_id, e2.ts, iv.s, iv.e, iv.o_orderkey, iv.o_totalprice,
+         |    row_number() OVER (PARTITION BY e2.event_id
+         |      ORDER BY iv.s DESC NULLS LAST, iv.o_orderkey DESC NULLS LAST) AS rn
+         |  FROM events e2 LEFT JOIN iv ON iv.user_id = e2.user_id AND iv.s <= e2.ts)
+         |SELECT event_id,
+         |  CASE WHEN e > ts THEN s END AS interval_start,
+         |  CASE WHEN e > ts THEN e END AS interval_end,
+         |  CASE WHEN e > ts THEN o_orderkey END AS o_orderkey,
+         |  CASE WHEN e > ts THEN o_totalprice END AS o_totalprice
+         |FROM cand WHERE rn = 1""".stripMargin
     DocQueries.oracleSql ++ Map(
+      "q_asof_interval" -> intervalSql,
+      "q_asof_interval_align" -> intervalAlignSql,
       // streaming dedup ≡ one survivor per distinct text (horizon >> span;
       // survivor projected onto group-constant columns)
       "q_stream_dedup" ->

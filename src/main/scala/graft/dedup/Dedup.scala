@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.functions.TextHash
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication for training-data pipelines, Spark-first:
@@ -507,6 +508,39 @@ object Dedup {
       p2.unpersist()
       clusterOutput(all, id, labels.withColumnRenamed("node", id))
     }
+  }
+
+  /** Quality-aware cluster representative selection: [[dupClusters]]' keep
+    * rule is "min id" (cheap, arbitrary); real pipelines keep the BEST
+    * member of each duplicate cluster — longest, cleanest, highest
+    * quality-score. Given the cluster table (id, cluster_id, …) and a
+    * per-id score table, re-elect each cluster's representative by
+    * (`scoreCol` desc, id asc — the tie-break keeps elections
+    * deterministic).
+    *
+    * One equi-join on id + one window over cluster_id. Cluster groups are
+    * duplicate sets — bounded by the dedup semantics itself (a cluster the
+    * size of the corpus means everything is a duplicate), so the window
+    * partitions stay small; the dominant singleton clusters collapse in
+    * the partial agg of the window exchange.
+    *
+    * Output: (id, cluster_id, score, keep_best). Ids missing from `scores`
+    * rank LAST (null score sorts after any value in the desc order, id
+    * tie-break applies), so a fully unscored cluster still elects exactly
+    * one representative. */
+  def keepBest(
+      clusters: DataFrame,
+      scores: DataFrame,
+      id: String = "doc_id",
+      scoreCol: String = "score"
+  ): DataFrame = {
+    val joined = clusters.select(col(id), col("cluster_id"))
+      .join(scores.select(col(id), col(scoreCol).as("_score")), Seq(id), "left")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("_score").desc_nulls_last, col(id).asc)
+    joined
+      .withColumn("keep_best", row_number().over(w) === 1)
+      .select(col(id), col("cluster_id"), col("_score").as("score"), col("keep_best"))
   }
 
   /** Embedding cosine near-duplicate pairs above a threshold.

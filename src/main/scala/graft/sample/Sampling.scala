@@ -69,6 +69,67 @@ object Sampling {
     }
     df.where(bucket(keyed(df, key), seed) < threshold)
   }
+
+  /** Temperature-scaled mixture sampling (the XLM-R / multilingual-LM
+    * rebalancing law): sample stratum `s` with probability ∝ p_s^τ where
+    * p_s is its corpus share, then scale so the EXPECTED overall keep rate
+    * is `targetFraction`. τ = 1 reproduces the corpus mixture; τ → 0
+    * approaches uniform-over-strata; τ < 1 up-weights tail strata (the
+    * low-resource-language boost). Per-stratum keep fractions are capped at
+    * 1.0 (a tail stratum whose boosted share exceeds its size keeps ALL its
+    * rows — this sampler never duplicates, so the realized mixture is the
+    * capped one).
+    *
+    * Plan shape: one tiny map-side-combinable aggregate (`#strata` rows,
+    * bounded by `maxStrata`) collected to the driver to compute the keep
+    * thresholds, then ONE scan with the [[byHash]] predicate — the corpus
+    * is never shuffled. Fully deterministic: weights are computed with a
+    * FIXED operation order (strata sorted ascending, sequential fold), so
+    * the thresholds — and therefore the kept row set — are bit-reproducible
+    * across engines (the DuckDB oracle mirrors the fold op-for-op; τ = 0.5
+    * uses `sqrt`, correctly rounded in IEEE-754, hence bit-identical
+    * cross-engine; other τ go through `pow`, which is deterministic
+    * per-engine but only ~1-ulp portable).
+    *
+    * The stratum column is compared AS A STRING (null-safe; a null stratum
+    * is its own stratum "∅"). */
+  def byMixture(
+      df: DataFrame,
+      strataCol: String,
+      temperature: Double,
+      targetFraction: Double,
+      key: String,
+      seed: Int = 0,
+      maxStrata: Int = 100000
+  ): DataFrame = {
+    require(temperature > 0.0, s"temperature must be > 0, got $temperature")
+    require(targetFraction >= 0.0 && targetFraction <= 1.0, "targetFraction must be in [0, 1]")
+    val s = col(strataCol).cast("string")
+    val counts = df.groupBy(s.as("_s")).agg(count(lit(1)).as("_n"))
+      .limit(maxStrata + 1).collect()
+    require(counts.length <= maxStrata,
+      s"byMixture saw > $maxStrata strata — '$strataCol' is not a mixture column")
+    // deterministic order: null stratum first, then ascending (ASCII strata
+    // sort identically under Java UTF-16 and DuckDB binary collation)
+    val sorted = counts
+      .map(r => (Option(r.getString(0)), r.getLong(1)))
+      .sortBy(_._1)(Ordering.Option(Ordering.String))
+    val nTotal = sorted.map(_._2).sum
+    def weight(n: Long): Double = {
+      val p = n.toDouble / nTotal.toDouble
+      if (temperature == 0.5) math.sqrt(p) else math.pow(p, temperature)
+    }
+    val sumW = sorted.foldLeft(0.0) { case (acc, (_, n)) => acc + weight(n) }
+    val thresholds = sorted.map { case (stratum, n) =>
+      val f = math.min(1.0, targetFraction * (weight(n) / sumW) * nTotal.toDouble / n.toDouble)
+      stratum -> math.floor(f * Buckets).toLong
+    }
+    val threshold = thresholds.foldLeft(lit(0L): Column) {
+      case (acc, (stratum, t)) =>
+        when(s <=> stratum.map(lit).getOrElse(lit(null)), lit(t)).otherwise(acc)
+    }
+    df.where(bucket(keyed(df, key), seed) < threshold)
+  }
 }
 
 /** Sequence packing: assign documents to fixed token-budget bins — the
@@ -112,4 +173,50 @@ object TokenPacking {
       .drop("_cum")
     if (shards == 1) out.drop("_shard") else out.withColumnRenamed("_shard", "shard")
   }
+
+  /** Context-window chunking: split each document into overlapping windows
+    * of at most `maxLen` tokens with `overlap` tokens shared between
+    * consecutive chunks — the standard long-document → training-sample
+    * step. Chunk starts advance by `maxLen − overlap`; the FINAL chunk is
+    * whatever remains (shorter than `maxLen`, never re-based backward, so
+    * chunk boundaries are a pure function of `n_tok` and every token
+    * position is covered exactly ⌈coverage⌉ times). A document with
+    * `n_tok ≤ 0` yields no chunks.
+    *
+    * Pure per-row `explode(sequence(...))` — zero shuffle, scan-speed at
+    * any corpus size; output cardinality is Σ ⌈(n_tok − overlap) / step⌉,
+    * the same blow-up any chunker pays. Output: input columns +
+    * (chunk_id, tok_start, tok_len). */
+  def chunk(
+      df: DataFrame,
+      maxLen: Int,
+      overlap: Int = 0,
+      nTokCol: String = "n_tok"
+  ): DataFrame = {
+    require(maxLen > 0, "maxLen must be positive")
+    require(overlap >= 0 && overlap < maxLen, s"overlap must be in [0, maxLen), got $overlap")
+    val step = maxLen - overlap
+    val n = col(nTokCol).cast("long")
+    // ceil((n - maxLen) / step) on integers = (n - maxLen + step - 1) div step
+    val extra = greatest(lit(0L), floor((n - maxLen + step - 1).cast("double") / step).cast("long"))
+    df.where(n > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0L), extra)))
+      .withColumn("tok_start", col("chunk_id") * step)
+      .withColumn("tok_len", least(lit(maxLen.toLong), n - col("tok_start")))
+  }
+
+  /** [[chunk]] plus the chunk's actual token slice (north-rule per-row
+    * invariant surface: the concatenation of slices at `overlap = 0`
+    * round-trips the document exactly). `tokensCol` is an array column;
+    * `nTokCol` must equal its size. */
+  def chunkTokens(
+      df: DataFrame,
+      tokensCol: String,
+      maxLen: Int,
+      overlap: Int = 0,
+      nTokCol: String = "n_tok"
+  ): DataFrame =
+    chunk(df, maxLen, overlap, nTokCol)
+      .withColumn("chunk_tokens",
+        slice(col(tokensCol), (col("tok_start") + 1).cast("int"), col("tok_len").cast("int")))
 }

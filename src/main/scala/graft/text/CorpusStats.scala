@@ -104,4 +104,50 @@ object CorpusStats {
       .where(col("rank") <= k)
       .select(col(id), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
   }
+
+  /** Per-stratum quality gate: keep the top `keepFraction` of rows in each
+    * stratum by (`scoreCol` desc, `id` asc) — the "keep the best 40% of
+    * each source" curation step, rank-based so there is NO percentile
+    * interpolation ambiguity: kept count per stratum is exactly
+    * ⌈keepFraction · n⌉.
+    *
+    * Two modes, the same pattern as the embedding dedup's exact/LSH pair:
+    *
+    *   - `exact = false` (the 100-TB default): per-stratum score threshold
+    *     via `approx_percentile` (a tiny map-side-combinable sketch
+    *     aggregate, #strata output rows, broadcast back as a filter) — the
+    *     corpus is scanned twice and never shuffled. Kept set is
+    *     approximate at the boundary (sketch error `1/accuracy`), which is
+    *     what production gates run.
+    *   - `exact = true` (the oracle/verification path): one
+    *     `row_number()` window per stratum — exact, but a stratum is a
+    *     WHOLE window partition, so a giant stratum serializes into one
+    *     task; only for low-cardinality verification scale.
+    *
+    * Output: the kept input rows, unchanged schema. */
+  def qualityGate(
+      df: DataFrame,
+      scoreCol: String,
+      strataCol: String,
+      keepFraction: Double,
+      id: String = "doc_id",
+      exact: Boolean = false,
+      accuracy: Int = 10000
+  ): DataFrame = {
+    require(keepFraction >= 0.0 && keepFraction <= 1.0, "keepFraction must be in [0, 1]")
+    if (exact) {
+      val w = Window.partitionBy(col(strataCol)).orderBy(col(scoreCol).desc, col(id).asc)
+      val cnt = Window.partitionBy(col(strataCol))
+      df.withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(cnt))
+        .where(col("_rn") <= ceil(lit(keepFraction) * col("_n")))
+        .drop("_rn", "_n")
+    } else {
+      val thr = df.groupBy(col(strataCol).as("_s"))
+        .agg(approx_percentile(col(scoreCol), lit(1.0 - keepFraction), lit(accuracy)).as("_thr"))
+      df.join(broadcast(thr), col(strataCol) <=> col("_s"))
+        .where(col(scoreCol) >= col("_thr"))
+        .drop("_s", "_thr")
+    }
+  }
 }
