@@ -207,6 +207,52 @@ object Explain {
     check("sampling: no exchange")(!smpPlan.contains("Exchange"))
     check("sampling: no join")(!smpPlan.contains("Join"))
 
+    // --- mixture sampling: thresholds collapse to a literal CASE filter —
+    // the corpus scan itself must stay exchange- and join-free ---
+    val mix = graft.sample.Sampling.byMixture(docs, "lang", 0.5, 0.2, "doc_id")
+    val mixPlan = mix.queryExecution.executedPlan.toString
+    println("=== mixture sampling (filter-only corpus scan) ===")
+    check("mixture: no exchange")(!mixPlan.contains("Exchange"))
+    check("mixture: no join")(!mixPlan.contains("Join"))
+
+    // --- chunking: per-row explode, zero shuffle at any corpus size ---
+    val chunked = graft.sample.TokenPacking.chunkTokens(
+      docs.select(col("doc_id"), graft.functions.TextHash.tokenHashes(col("text")).as("tokens"))
+        .withColumn("n_tok", size(col("tokens"))), "tokens", 128, 16)
+    val chunkPlan = chunked.queryExecution.executedPlan.toString
+    println("=== context-window chunking (generate-only plan) ===")
+    check("chunking: no exchange")(!chunkPlan.contains("Exchange"))
+    check("chunking: generator present")(chunkPlan.contains("Generate"))
+
+    // --- quality gate (approx mode): sketch thresholds broadcast back —
+    // never a sort-merge join, never a per-stratum window ---
+    val scored = graft.text.TextFeatures.withQuality(docs)
+    val gate = graft.text.CorpusStats.qualityGate(scored, "quality_score", "source", 0.4)
+    val gatePlan = gate.queryExecution.executedPlan.toString
+    println("=== quality gate approx mode (broadcast threshold filter) ===")
+    check("quality gate: threshold side broadcast")(gatePlan.contains("BroadcastHashJoin")
+      || gatePlan.contains("BroadcastNestedLoopJoin"))
+    check("quality gate: no sort-merge join")(!gatePlan.contains("SortMergeJoin"))
+    check("quality gate: no window")(!gatePlan.contains("Window"))
+
+    // --- interval join (banded): equi-join on (entity, band) — the range
+    // predicate must RIDE the hash join, never degrade to nested-loop ---
+    val ivProbe = SparkEntry.events(spark, sfDir).select(col("event_id"), col("user_id"), col("ts"))
+    val ivBuild = SparkEntry.events(spark, sfDir).limit(100).select(
+      col("user_id"), col("ts").as("s"),
+      graft.core.Times.fromMicros(graft.core.Times.micros(col("ts")) + 7200000000L,
+        org.apache.spark.sql.types.TimestampNTZType).as("e"),
+      col("event_id").as("iv_id"))
+    val ivJoined = graft.asof.IntervalJoin.banded(ivProbe, ivBuild, "user_id", "ts",
+      "s", "e", Seq("iv_id"), probeKey = "event_id", bandSec = 3600.0,
+      buildOrder = Seq("iv_id"))
+    val ivPlan = ivJoined.queryExecution.executedPlan.toString
+    println("=== interval join banded (equi hash/merge join on (entity, band)) ===")
+    check("interval: no cartesian product")(!ivPlan.contains("CartesianProduct"))
+    check("interval: no broadcast nested loop")(!ivPlan.contains("BroadcastNestedLoopJoin"))
+    check("interval: winner election partially aggregated map-side")(
+      ivPlan.contains("partial_max_by"))
+
     // --- visited_poi: inline predicate — single scan, zero joins/shuffles ---
     val sur = t.where(col("traj_id") === "3")
       .select(col("lat"), col("lon"), (col("lat") * 1000.0).as("dist_poi"))

@@ -1,8 +1,7 @@
 package graft.asof
 
 import graft.core.Times
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Point-in-interval join (north-rule family): for every probe row
@@ -131,14 +130,23 @@ object IntervalJoin {
     val cond = col(entity) === col("_i_entity") && pBand === col("_i_band") &&
       col("_i_start_mic") <= pMic && pMic < col("_i_end_mic")
     val joined = probe.join(iv, cond, "left")
-    val w = Window.partitionBy(col(probeKey))
-      .orderBy(col("_i_start_mic").desc_nulls_last +: buildOrder.map(c => col(s"_i_$c").desc): _*)
+    // winner per probe row via max_by, NOT a row_number window: the
+    // hash-aggregate gets map-side partial aggregation, so overlapping
+    // candidates collapse BEFORE the exchange and nothing is sorted
+    // (candidate groups are homogeneous — the left join emits the
+    // null-candidate row only when there is no match at all). Struct
+    // ordering is field-lexicographic, so max(start, buildOrder…) is
+    // exactly the latest-start / largest-tie-break winner; callers must
+    // pass a unique buildOrder for full determinism under exact ties
+    // (same contract as the window formulation).
+    val payload = struct(
+      probeCols.map(col) ++
+        Seq(col("_i_start").as("interval_start"), col("_i_end").as("interval_end")) ++
+        valueCols.map(c => col(s"_i_$c").as(c)): _*)
+    val ord = struct(col("_i_start_mic") +: buildOrder.map(c => col(s"_i_$c")): _*)
     joined
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .select(
-        probeCols.map(col) ++
-          Seq(col("_i_start").as("interval_start"), col("_i_end").as("interval_end")) ++
-          valueCols.map(c => col(s"_i_$c").as(c)): _*)
+      .groupBy(col(probeKey).as("_pk"))
+      .agg(max_by(payload, ord).as("_w"))
+      .select(col("_w.*"))
   }
 }
