@@ -208,6 +208,12 @@ object DocQueries {
       val d = docs(sp, dir)
       Dedup.contaminatedDocs(d.where(col("doc_id") >= 20), d.where(col("doc_id") < 20), k = 3)
     }),
+    // same decontamination through the Bloom-prefilter + exact-confirm
+    // path (huge-benchmark memory law); EXACT output → same oracle
+    "q_dedup_decontam_bloom" -> ((sp, dir) => {
+      val d = docs(sp, dir)
+      Dedup.contaminatedDocsBloom(d.where(col("doc_id") >= 20), d.where(col("doc_id") < 20), k = 3)
+    }),
 
     // ---- similarity ----
     "q_sim_topk" -> ((sp, dir) => {
@@ -313,6 +319,11 @@ object DocQueries {
           TextFeatures.withQuality(docs(sp, dir)), "quality_score", "source",
           keepFraction = 0.4, exact = true)
         .select(col("doc_id"), col("source"), col("quality_score"))),
+    // per-source quality quartiles (ANSI ntile — the curriculum/mixing view)
+    "q_txt_quality_tiers" -> ((sp, dir) =>
+      graft.text.CorpusStats.qualityTiers(
+          TextFeatures.withQuality(docs(sp, dir)), "quality_score", "source", tiers = 4)
+        .select(col("doc_id"), col("source"), col("tier"))),
     // context-window chunking with overlap: maxLen 128, overlap 16; emits
     // the actual token slices (chunk concatenation at overlap 0 is the
     // round-trip invariant — TokenChunkSpec)
@@ -331,6 +342,17 @@ object DocQueries {
         size(TextHash.tokenHashes(col("text"))).as("n_tok"))
       graft.sample.TokenPacking.contiguous(seqs, budget = 2048)
         .select(col("doc_id"), col("source"), col("n_tok"), col("bin_id"), col("bin_offset"))
+    }),
+    // the bins MATERIALIZED: per-(source, bin) concatenated token sequence
+    "q_tok_packed" -> ((sp, dir) => {
+      val seqs = docs(sp, dir).select(
+          col("doc_id"), col("lang").as("source"),
+          TextHash.tokenHashes(col("text")).as("tokens"))
+        .withColumn("n_tok", size(col("tokens")))
+      graft.sample.TokenPacking.packSequences(seqs, budget = 2048)
+        .select(col("source"), col("bin_id"), col("n_docs"), col("n_tokens"),
+          posexplode(col("packed")).as(Seq("pos", "token")))
+        .withColumn("pos", col("pos").cast("long"))
     }),
 
     // ---- token-grid round trip (north-rule per-row invariant) ----
@@ -426,6 +448,13 @@ object DocQueries {
   }
 
   val oracleSql: Map[String, String] = {
+    val decontamSql =
+      s"""WITH t AS (SELECT doc_id, $sqlWordHashes AS wh FROM documents),
+         |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+         |bench AS (SELECT DISTINCT unnest(sh) AS x FROM s WHERE doc_id < 20),
+         |inv AS (SELECT doc_id, unnest(sh) AS x FROM s WHERE doc_id >= 20)
+         |SELECT inv.doc_id, count(*) AS n_hits
+         |FROM inv JOIN bench USING (x) GROUP BY inv.doc_id""".stripMargin
     val kinDigits = Seq(
       ("dist", Kinematic.Distance, 3), ("dist_start", Kinematic.DistanceFromStart, 3),
       ("speed", Kinematic.Speed, 3), ("acc", Kinematic.Acceleration, 2),
@@ -495,13 +524,10 @@ object DocQueries {
            |  cast(len(regexp_extract_all(text, '${TextFeatures.Ipv4Pattern}')) AS INTEGER) AS n_ipv4,
            |  cast(len(regexp_extract_all(text, '${TextFeatures.LongDigitRunPattern}')) AS INTEGER) AS n_digit_runs
            |FROM documents""".stripMargin,
-      "q_dedup_decontam" ->
-        s"""WITH t AS (SELECT doc_id, $sqlWordHashes AS wh FROM documents),
-           |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
-           |bench AS (SELECT DISTINCT unnest(sh) AS x FROM s WHERE doc_id < 20),
-           |inv AS (SELECT doc_id, unnest(sh) AS x FROM s WHERE doc_id >= 20)
-           |SELECT inv.doc_id, count(*) AS n_hits
-           |FROM inv JOIN bench USING (x) GROUP BY inv.doc_id""".stripMargin,
+      // ONE oracle per decontamination semantics — the broadcast-exact and
+      // bloom-prefilter formulations verify against the same SQL
+      "q_dedup_decontam" -> decontamSql,
+      "q_dedup_decontam_bloom" -> decontamSql,
       "q_txt_repetition" ->
         s"""WITH t AS (SELECT doc_id, $sqlWordHashes AS wh FROM documents),
            |u2 AS (SELECT doc_id, (wh[i] * 31 + wh[i+1]) % $P AS x
@@ -860,6 +886,11 @@ object DocQueries {
            |    count(*) OVER (PARTITION BY source) AS n
            |  FROM qs)
            |SELECT doc_id, source, quality_score FROM g WHERE rn <= ceil(0.4 * n)""".stripMargin,
+      "q_txt_quality_tiers" ->
+        s"""WITH $sqlQualityScoreCte
+           |SELECT doc_id, source,
+           |  ntile(4) OVER (PARTITION BY source ORDER BY quality_score DESC NULLS LAST, doc_id ASC)::INT AS tier
+           |FROM qs""".stripMargin,
       "q_tok_chunks" ->
         s"""WITH t AS (SELECT doc_id, $sqlWordHashes AS wh FROM documents),
            |n AS (SELECT doc_id, wh, len(wh)::BIGINT AS n FROM t WHERE len(wh) > 0),
@@ -875,6 +906,17 @@ object DocQueries {
            |  cast(floor((cum - n_tok)::DOUBLE / 2048) AS BIGINT) AS bin_id,
            |  cast(cum - n_tok AS BIGINT) AS bin_offset
            |FROM c""".stripMargin,
+      "q_tok_packed" ->
+        s"""WITH t AS (SELECT doc_id, lang AS source, $sqlWordHashes AS wh FROM documents),
+           |c AS (SELECT *, sum(len(wh)) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM t),
+           |b AS (SELECT doc_id, source, wh,
+           |        cast(floor((cum - len(wh))::DOUBLE / 2048) AS BIGINT) AS bin_id FROM c),
+           |p AS (SELECT source, bin_id, count(*)::BIGINT AS n_docs,
+           |        flatten(list(wh ORDER BY doc_id)) AS packed
+           |      FROM b GROUP BY source, bin_id)
+           |SELECT source, bin_id, n_docs, len(packed)::BIGINT AS n_tokens,
+           |       g.i - 1 AS pos, packed[g.i] AS token
+           |FROM p, unnest(generate_series(1, len(packed))) AS g(i)""".stripMargin,
       "q_tok_roundtrip" ->
         s"""WITH t AS (SELECT doc_id::VARCHAR AS doc_id, $sqlWordHashes AS wh FROM documents)
            |SELECT doc_id, i - 1 AS pos, wh[i]::INT AS token

@@ -131,6 +131,66 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Bloom-prefilter decontamination — identical output to
+    * [[contaminatedDocs]] (same oracle), different memory law. The exact
+    * path broadcasts the FULL benchmark shingle set to every executor
+    * (~16+ GB of hash table at 10⁹ shingles); this path builds ONE Bloom
+    * filter over the benchmark shingles (`numBits` bits total — 4 MB
+    * default, GB-scale sets fit in hundreds of MB at 1% fpp), ships it as
+    * a scan-time literal, and kills ~all non-contaminated corpus shingles
+    * at scan speed. The few bloom survivors (true hits + fpp·|corpus
+    * shingles| false positives) then take an EXACT confirm join against
+    * the benchmark set — a shuffle join whose probe side is now tiny, so
+    * no broadcast of the exact set is ever needed. Two-stage
+    * bloom-then-verify is the standard trick for contains-joins against
+    * huge build sides; the confirm stage makes the result EXACT, so the
+    * Bloom sizing only affects cost, never correctness.
+    *
+    * Uses Spark's own `BloomFilterAggregate` / `BloomFilterMightContain`
+    * (the runtime-filter machinery, reached through the catalyst bridge —
+    * they are not registered as SQL functions). The built filter is
+    * collected once on the driver (it is `numBits/8` bytes, bounded by
+    * construction) and embedded as a foldable literal, which is what
+    * `might_contain` requires of its filter side.
+    *
+    * Output: (id, n_hits) — distinct contaminated shingle count per doc. */
+  def contaminatedDocsBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      k: Int = 3,
+      id: String = "doc_id",
+      text: String = "text",
+      estItems: Long = 1L << 22,
+      numBits: Long = 1L << 25
+  ): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(estItems > 0 && numBits > 0, "estItems and numBits must be positive")
+    val benchShingles = benchmark
+      .select(explode(TextHash.shingleHashes(TextHash.tokenHashes(col(text)), k)).as("sh"))
+      .distinct()
+    val bloomAgg = GraftSqlBridge.column(
+      new BloomFilterAggregate(
+        GraftSqlBridge.expression(col("sh")),
+        GraftSqlBridge.expression(lit(estItems)),
+        GraftSqlBridge.expression(lit(numBits))
+      ).toAggregateExpression())
+    val bloomBytes = benchShingles.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val inv = shingles(corpus, k, id, text)
+      .select(col(id), explode(col("shingles")).as("sh"))
+    // an empty benchmark aggregates to a null filter — nothing contaminates
+    // (might_contain rejects a NullType literal at analysis, so guard here)
+    if (bloomBytes == null) return inv.groupBy(col(id)).agg(count(lit(1)).as("n_hits")).limit(0)
+    val prefiltered = inv.where(GraftSqlBridge.column(BloomFilterMightContain(
+      GraftSqlBridge.expression(lit(bloomBytes)),
+      GraftSqlBridge.expression(col("sh")))))
+    prefiltered
+      .join(benchShingles, Seq("sh"), "left_semi") // exact confirm — kills fpp survivors
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Span-level decontamination: the TOKEN positions (0-based start of each
     * k-token shingle) at which a corpus doc matches a benchmark shingle —
     * what a scrubbing stage needs to EXCISE contaminated spans instead of

@@ -219,4 +219,45 @@ object TokenPacking {
     chunk(df, maxLen, overlap, nTokCol)
       .withColumn("chunk_tokens",
         slice(col(tokensCol), (col("tok_start") + 1).cast("int"), col("tok_len").cast("int")))
+
+  /** Materialize the packed sequences [[contiguous]] plans: one output row
+    * per (stream, bin) holding the member documents' tokens concatenated
+    * in `orderCol` order, optionally with a separator token between
+    * documents (the EOS/document-boundary convention). This is the step
+    * that turns bin ASSIGNMENTS into the physical training sequences.
+    *
+    * The per-bin `collect_list` is NOT the unbounded-group anti-pattern:
+    * a document is assigned to the bin its START offset falls in (documents
+    * are never split), so a bin holds < `budget` tokens BEFORE its last
+    * member and at most `budget + len(last member) − 1` in total — every
+    * group buffer is bounded by the context budget plus one document, the
+    * same bound the downstream trainer's sample buffer needs anyway. One
+    * shuffle on (stream, bin).
+    *
+    * Output: (partCol [, shard], bin_id, n_docs, n_tokens, packed). */
+  def packSequences(
+      df: DataFrame,
+      budget: Int,
+      tokensCol: String = "tokens",
+      nTokCol: String = "n_tok",
+      partCol: String = "source",
+      orderCol: String = "doc_id",
+      shards: Int = 1,
+      sep: Option[Long] = None
+  ): DataFrame = {
+    val binned = contiguous(df, budget, nTokCol, partCol, orderCol, shards)
+    val keys = if (shards == 1) Seq(partCol, "bin_id") else Seq(partCol, "shard", "bin_id")
+    val member = sep match {
+      case Some(s) => concat(col(tokensCol).cast("array<long>"), array(lit(s)))
+      case None    => col(tokensCol).cast("array<long>")
+    }
+    binned
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        flatten(sort_array(collect_list(struct(col(orderCol).as("_o"), member.as("_t"))))
+          .getField("_t")).as("packed"))
+      .withColumn("n_tokens", size(col("packed")).cast("long"))
+      .select(keys.map(col) ++ Seq(col("n_docs"), col("n_tokens"), col("packed")): _*)
+  }
 }

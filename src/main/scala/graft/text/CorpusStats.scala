@@ -150,4 +150,25 @@ object CorpusStats {
         .drop("_s", "_thr")
     }
   }
+
+  /** Per-stratum quality tiers: every row gets its `ntile(tiers)` bucket by
+    * (`scoreCol` desc, `id` asc) within its stratum — the curriculum /
+    * data-mixing view (tier 1 = the best ~1/tiers of each source, tier
+    * `tiers` = the worst). ANSI ntile, identical in every engine: the
+    * first `n mod tiers` buckets get one extra row. Same window-per-stratum
+    * shape as [[qualityGate]]'s exact mode and the same caveat: giant
+    * strata serialize into one task — tier at the granularity you can sort
+    * (source/domain), or pre-shard the stratum key. Output: input columns +
+    * `tier`. */
+  def qualityTiers(
+      df: DataFrame,
+      scoreCol: String,
+      strataCol: String,
+      tiers: Int,
+      id: String = "doc_id"
+  ): DataFrame = {
+    require(tiers > 0, s"tiers must be positive, got $tiers")
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(scoreCol).desc, col(id).asc)
+    df.withColumn("tier", ntile(tiers).over(w))
+  }
 }

@@ -117,6 +117,62 @@ class CurationSpec extends SparkSpec {
     assert(badLen == 0)
   }
 
+  test("bloom-prefilter decontamination ≡ the broadcast-exact path, including empty benchmark") {
+    val corpus = docs.where(col("doc_id") >= 10)
+    val bench = docs.where(col("doc_id") < 10)
+    val exact = Dedup.contaminatedDocs(corpus, bench, k = 3)
+    val bloom = Dedup.contaminatedDocsBloom(corpus, bench, k = 3)
+    assert(exact.exceptAll(bloom).count() == 0 && bloom.exceptAll(exact).count() == 0,
+      "the exact-confirm stage must make the bloom path bit-identical")
+    // tiny filter (high fpp) still exact — sizing affects cost, not output
+    val tiny = Dedup.contaminatedDocsBloom(corpus, bench, k = 3, estItems = 8, numBits = 64)
+    assert(exact.exceptAll(tiny).count() == 0 && tiny.exceptAll(exact).count() == 0)
+    // empty benchmark → empty result, no analysis error
+    assert(Dedup.contaminatedDocsBloom(corpus, bench.limit(0), k = 3).count() == 0)
+  }
+
+  test("quality tiers: ANSI ntile sizes per stratum, best rows in tier 1") {
+    val scored = graft.text.TextFeatures.withQuality(docs)
+    val tiered = CorpusStats.qualityTiers(scored, "quality_score", "source", tiers = 4)
+    val sizes = tiered.groupBy("source", "tier").count().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(r => r.getInt(1) -> r.getLong(2)).toMap)
+    sizes.foreach { case (src, byTier) =>
+      val n = byTier.values.sum
+      (1 to 4).foreach { t =>
+        val want = n / 4 + (if (t <= n % 4) 1 else 0)
+        assert(byTier.getOrElse(t, 0L) == want, s"source $src tier $t: ${byTier.get(t)} != $want")
+      }
+    }
+    // tier-1 min score ≥ tier-4 max score within a stratum
+    val t1 = tiered.where(col("tier") === 1).groupBy("source").agg(min("quality_score").as("mn"))
+    val t4 = tiered.where(col("tier") === 4).groupBy("source").agg(max("quality_score").as("mx"))
+    assert(t1.join(t4, "source").where(col("mx") > col("mn")).count() == 0)
+  }
+
+  test("packed sequences: bins materialize in doc order, bounded by budget, separator optional") {
+    val seqs = docs.select(col("doc_id"), col("lang").as("source"),
+        graft.functions.TextHash.tokenHashes(col("text")).as("tokens"))
+      .withColumn("n_tok", size(col("tokens")))
+    val packed = TokenPacking.packSequences(seqs, budget = 512)
+    // token conservation: Σ packed = Σ n_tok
+    val totIn = seqs.agg(sum("n_tok")).head().getLong(0)
+    val totOut = packed.agg(sum("n_tokens")).head().getLong(0)
+    assert(totIn == totOut)
+    // packing law: docs are assigned by START offset and never split, so a
+    // bin fits in budget EXCLUDING its last member (total < budget + last)
+    val binned = TokenPacking.contiguous(seqs, budget = 512)
+    val lastLen = binned.groupBy("source", "bin_id")
+      .agg(max_by(col("n_tok"), col("doc_id")).as("last_len"))
+    val over = packed.join(lastLen, Seq("source", "bin_id"))
+      .where(col("n_tokens") - col("last_len") >= 512).count()
+    assert(over == 0, "a bin held ≥ budget tokens before its last member")
+    // separator adds exactly n_docs tokens per bin
+    val sep = TokenPacking.packSequences(seqs, budget = 512, sep = Some(-1L))
+      .select(col("source"), col("bin_id"), col("n_docs").as("nd"), col("n_tokens").as("nt_sep"))
+    val both = packed.join(sep, Seq("source", "bin_id"))
+    assert(both.where(col("nt_sep") =!= col("n_tokens") + col("nd")).count() == 0)
+  }
+
   test("chunking with overlap: starts advance by maxLen−overlap and re-cover the tail") {
     val df = Seq((1L, (0L until 100L).toArray)).toDF("doc_id", "tokens")
       .withColumn("n_tok", size(col("tokens")))
