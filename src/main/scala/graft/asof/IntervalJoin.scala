@@ -107,6 +107,9 @@ object IntervalJoin {
     require(maxSpanBands > 0, s"maxSpanBands must be positive, got $maxSpanBands")
     val probeCols = probe.columns.toSeq
     val bandLen = (bandSec * 1e6).toLong
+    // sub-microsecond bandSec truncates to 0 and the band index becomes a
+    // division by zero (Infinity → all bands collapse) — fail loudly instead
+    require(bandLen > 0, s"bandSec = $bandSec is below 1 microsecond — band length truncates to 0")
     val sMic = Times.micros(col(startCol))
     val eMic = Times.micros(col(endCol))
     val bLo = floor(sMic.cast("double") / bandLen).cast("long")

@@ -92,7 +92,7 @@ object Sampling {
     * per-engine but only ~1-ulp portable).
     *
     * The stratum column is compared AS A STRING (null-safe; a null stratum
-    * is its own stratum "∅"). */
+    * is its own stratum, folded last to match SQL NULLS LAST). */
   def byMixture(
       df: DataFrame,
       strataCol: String,
@@ -109,11 +109,16 @@ object Sampling {
       .limit(maxStrata + 1).collect()
     require(counts.length <= maxStrata,
       s"byMixture saw > $maxStrata strata — '$strataCol' is not a mixture column")
-    // deterministic order: null stratum first, then ascending (ASCII strata
-    // sort identically under Java UTF-16 and DuckDB binary collation)
+    // deterministic fold order: ascending strata, null stratum LAST —
+    // matching DuckDB's default NULLS LAST so the oracle's ordered list
+    // fold reproduces sumW bit-for-bit. CAVEAT (documented, not enforced):
+    // Java sorts by UTF-16 code unit, DuckDB by UTF-8 byte — identical for
+    // ASCII strata (the realistic lang/source/domain case); supplementary-
+    // plane stratum names would reorder the fold and perturb thresholds by
+    // ulps.
     val sorted = counts
       .map(r => (Option(r.getString(0)), r.getLong(1)))
-      .sortBy(_._1)(Ordering.Option(Ordering.String))
+      .sortBy { case (st, _) => (st.isEmpty, st.getOrElse("")) }
     val nTotal = sorted.map(_._2).sum
     def weight(n: Long): Double = {
       val p = n.toDouble / nTotal.toDouble
@@ -124,12 +129,32 @@ object Sampling {
       val f = math.min(1.0, targetFraction * (weight(n) / sumW) * nTotal.toDouble / n.toDouble)
       stratum -> math.floor(f * Buckets).toLong
     }
-    val threshold = thresholds.foldLeft(lit(0L): Column) {
-      case (acc, (stratum, t)) =>
-        when(s <=> stratum.map(lit).getOrElse(lit(null)), lit(t)).otherwise(acc)
+    if (thresholds.length <= MaxCaseStrata) {
+      // few strata: inline CASE chain — the scan stays filter-only (no join,
+      // no exchange; the Explain gate asserts this shape)
+      val threshold = thresholds.foldLeft(lit(0L): Column) {
+        case (acc, (stratum, t)) =>
+          when(s <=> stratum.map(lit).getOrElse(lit(null)), lit(t)).otherwise(acc)
+      }
+      df.where(bucket(keyed(df, key), seed) < threshold)
+    } else {
+      // many strata: a CASE chain one level deep per stratum overflows the
+      // analyzer's recursive transforms (~few thousand) and costs O(#strata)
+      // string compares PER ROW — broadcast the tiny threshold table instead
+      val spark = df.sparkSession
+      import spark.implicits._
+      val thrDf = broadcast(
+        thresholds.toSeq.map { case (st, t) => (st.orNull, t) }.toDF("_mix_s", "_mix_thr"))
+      df.join(thrDf, s <=> col("_mix_s"))
+        .where(bucket(keyed(df, key), seed) < col("_mix_thr"))
+        .drop("_mix_s", "_mix_thr")
     }
-    df.where(bucket(keyed(df, key), seed) < threshold)
   }
+
+  /** Above this stratum count [[byMixture]] switches from an inline CASE
+    * threshold (filter-only plan) to a broadcast threshold join — deep
+    * CaseWhen trees blow the analyzer stack and linear-scan per row. */
+  val MaxCaseStrata: Int = 64
 }
 
 /** Sequence packing: assign documents to fixed token-budget bins — the

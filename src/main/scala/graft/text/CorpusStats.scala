@@ -124,6 +124,12 @@ object CorpusStats {
     *     WHOLE window partition, so a giant stratum serializes into one
     *     task; only for low-cardinality verification scale.
     *
+    * NULL-scored rows are unscorable and are dropped in BOTH modes (a null
+    * score cannot clear any threshold; keeping it in one mode and not the
+    * other would make mode choice change the row set for a reason
+    * unrelated to sketch accuracy). The quota is computed over the SCORED
+    * rows of each stratum.
+    *
     * Output: the kept input rows, unchanged schema. */
   def qualityGate(
       df: DataFrame,
@@ -135,17 +141,18 @@ object CorpusStats {
       accuracy: Int = 10000
   ): DataFrame = {
     require(keepFraction >= 0.0 && keepFraction <= 1.0, "keepFraction must be in [0, 1]")
+    val scored = df.where(col(scoreCol).isNotNull)
     if (exact) {
       val w = Window.partitionBy(col(strataCol)).orderBy(col(scoreCol).desc, col(id).asc)
       val cnt = Window.partitionBy(col(strataCol))
-      df.withColumn("_rn", row_number().over(w))
+      scored.withColumn("_rn", row_number().over(w))
         .withColumn("_n", count(lit(1)).over(cnt))
         .where(col("_rn") <= ceil(lit(keepFraction) * col("_n")))
         .drop("_rn", "_n")
     } else {
-      val thr = df.groupBy(col(strataCol).as("_s"))
+      val thr = scored.groupBy(col(strataCol).as("_s"))
         .agg(approx_percentile(col(scoreCol), lit(1.0 - keepFraction), lit(accuracy)).as("_thr"))
-      df.join(broadcast(thr), col(strataCol) <=> col("_s"))
+      scored.join(broadcast(thr), col(strataCol) <=> col("_s"))
         .where(col(scoreCol) >= col("_thr"))
         .drop("_s", "_thr")
     }

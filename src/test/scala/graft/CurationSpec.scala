@@ -52,7 +52,41 @@ class CurationSpec extends SparkSpec {
     assert(m.count() == m.select("doc_id").distinct().count())
   }
 
+  test("mixture with many strata takes the broadcast-join path with the same semantics") {
+    // 70 strata > MaxCaseStrata=64 → join branch; τ=1 law must still hold
+    val df = (0L until 700L).map(i => (i, s"s${i % 70}")).toDF("doc_id", "src")
+    val m = Sampling.byMixture(df, "src", temperature = 1.0, targetFraction = 0.3, key = "doc_id")
+    val h = Sampling.byHash(df, 0.3, "doc_id")
+    assert(m.exceptAll(h).count() <= 70 && h.exceptAll(m).count() <= 70)
+    assert(m.columns.toSeq == df.columns.toSeq, "threshold plumbing columns must not leak")
+    // repeatable through the join path too
+    assert(Sampling.byMixture(df, "src", 1.0, 0.3, "doc_id").exceptAll(m).count() == 0)
+  }
+
+  test("sub-microsecond interval bands fail loudly instead of collapsing") {
+    val p = Seq((1L, "u", "2024-01-01 00:00:00")).toDF("event_id", "entity", "ts_s")
+      .selectExpr("event_id", "entity", "cast(ts_s as timestamp) as ts")
+    val i = Seq((1L, "u", "2024-01-01 00:00:00", "2024-01-01 01:00:00")).toDF("iv_id", "entity", "s_s", "e_s")
+      .selectExpr("iv_id", "entity", "cast(s_s as timestamp) as s", "cast(e_s as timestamp) as e")
+    intercept[IllegalArgumentException] {
+      graft.asof.IntervalJoin.banded(p, i, "entity", "ts", "s", "e", Seq("iv_id"),
+        probeKey = "event_id", bandSec = 1e-7)
+    }
+  }
+
   // ---- quality gate ----
+
+  test("quality gate drops null-scored rows in BOTH modes") {
+    val df = Seq(
+      (1L, "a", Some(0.9)), (2L, "a", Some(0.5)), (3L, "a", None),
+      (4L, "b", None), (5L, "b", None)
+    ).toDF("doc_id", "source", "score")
+    val exact = CorpusStats.qualityGate(df, "score", "source", 1.0, exact = true)
+    val approx = CorpusStats.qualityGate(df, "score", "source", 1.0, exact = false)
+    val wantIds = Set(1L, 2L) // keepFraction 1.0 keeps every SCORED row
+    assert(exact.select("doc_id").collect().map(_.getLong(0)).toSet == wantIds)
+    assert(approx.select("doc_id").collect().map(_.getLong(0)).toSet == wantIds)
+  }
 
   test("exact quality gate keeps exactly ⌈f·n⌉ per stratum, best-first") {
     val scored = graft.text.TextFeatures.withQuality(docs)
