@@ -93,6 +93,34 @@ class IntervalJoinSpec extends SparkSpec {
     assert(b2 == 0)
   }
 
+  test("property: banded ≡ brute-force reference on random overlapping intervals, across band sizes") {
+    val rnd = new scala.util.Random(42)
+    val probeRows = (1L to 400L).map { i =>
+      (i, s"e${rnd.nextInt(5)}", new java.sql.Timestamp(1700000000000L + rnd.nextInt(1000000) * 1000L))
+    }
+    val ivRows = (1L to 120L).map { i =>
+      val s = 1700000000000L + rnd.nextInt(1000000) * 1000L
+      (i, s"e${rnd.nextInt(5)}", new java.sql.Timestamp(s),
+        new java.sql.Timestamp(s + (rnd.nextInt(200000) - 1000) * 1000L)) // some inverted/empty
+    }
+    val p = probeRows.toDF("event_id", "entity", "ts")
+    val ivs = ivRows.toDF("iv_id", "entity", "s", "e")
+    // brute force: inequality join + window pick — the oracle formulation
+    val cand = p.join(ivs.withColumnRenamed("entity", "_e"),
+      col("entity") === col("_e") && col("s") <= col("ts") && col("ts") < col("e"), "left")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_id"))
+      .orderBy(col("s").desc_nulls_last, col("iv_id").desc_nulls_last)
+    val brute = cand.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("event_id"), col("s").as("interval_start"), col("e").as("interval_end"), col("iv_id"))
+    for (band <- Seq(3600.0, 86400.0, 1000000.0)) {
+      val got = IntervalJoin.banded(p, ivs, "entity", "ts", "s", "e", Seq("iv_id"),
+          probeKey = "event_id", bandSec = band, buildOrder = Seq("iv_id"))
+        .select("event_id", "interval_start", "interval_end", "iv_id")
+      assert(got.exceptAll(brute).count() == 0 && brute.exceptAll(got).count() == 0,
+        s"banded diverged from the brute-force reference at bandSec=$band")
+    }
+  }
+
   test("span fan-out guard raises instead of silently exploding") {
     val intervals = iv((10L, "u", "2024-01-01 00:00:00", "2024-03-01 00:00:00")) // 60 days
     val e = intercept[Exception] {
