@@ -63,7 +63,10 @@ object IntervalJoin {
     val build = intervals.select(
       Seq(col(entity), col(startCol).as(ts), col(endCol).as("_iv_end")) ++
         (valueCols ++ buildOrder).distinct.map(col): _*)
-    val merged = AsOfJoin.backward(probe, build, entity, ts, valueCols :+ "_iv_end", buildOrder = buildOrder)
+    // through the Catalyst-native merge exec (the repo's documented as-of
+    // default: same semantics as AsOfJoin.backward by AsOfMergeSpec, ~5×
+    // faster, exchange-free over bucketed inputs)
+    val merged = AsOfMerge.backward(probe, build, entity, ts, valueCols :+ "_iv_end", buildOrder = buildOrder)
     val covered = col("asof_ts").isNotNull && Times.micros(col(ts)) < Times.micros(col("_iv_end"))
     merged.select(
       probeCols.map(col) ++
