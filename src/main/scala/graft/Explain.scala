@@ -253,6 +253,48 @@ object Explain {
     check("interval: winner election partially aggregated map-side")(
       ivPlan.contains("partial_max_by"))
 
+    // --- gap fill: LOCF + BFILL stacked share ONE exchange (same entity
+    // clustering) — the mirrored-DESC bfill adds only its sort; every frame
+    // is cumulative (O(1) state), never an unbounded-following buffer ---
+    val sparse = t.withColumn("lat", when(pmod(col("event_id"), lit(7L)) < 3L,
+      lit(null).cast("double")).otherwise(col("lat")))
+    val filledBoth = graft.interp.Fill.bfill(
+      graft.interp.Fill.locf(sparse, SparkEntry.S, Seq("lat")),
+      SparkEntry.S, Seq("lon"))
+    val fillPlan = filledBoth.queryExecution.executedPlan.toString
+    println("=== gap fill locf+bfill (one exchange, two mirrored sorts) ===")
+    val fillExchanges = "Exchange hashpartitioning".r.findAllIn(fillPlan).length
+    check(s"fill: one exchange for both directions, got $fillExchanges")(fillExchanges == 1)
+    check("fill: no following-frame aggregate")(!fillPlan.contains("unboundedfollowing$()"))
+
+    // --- rolling window: one exchange, one sort, ONE WindowExec (all five
+    // aggregates share the row-bounded trailing frame — buffer is k rows,
+    // not the partition) ---
+    val rolled = graft.features.Rolling.withRolling(t, SparkEntry.S, "lat", 16)
+    val rollPlan = rolled.queryExecution.executedPlan.toString
+    println("=== rolling stats (single bounded-frame WindowExec) ===")
+    val rollExchanges = "Exchange hashpartitioning".r.findAllIn(rollPlan).length
+    val rollWindows = "\\bWindow \\[".r.findAllIn(rollPlan).length
+    val rollSorts = "\\bSort \\[".r.findAllIn(rollPlan).length
+    check(s"rolling: one exchange, got $rollExchanges")(rollExchanges == 1)
+    check(s"rolling: one WindowExec, got $rollWindows")(rollWindows == 1)
+    check(s"rolling: one sort, got $rollSorts")(rollSorts == 1)
+    check("rolling: no unbounded-following frame")(!rollPlan.contains("unboundedfollowing$()"))
+
+    // --- stream as-of (batch formulation): compacted build side joins on
+    // the ENTITY with a hash join — never nested-loop over histories ---
+    val saProbe = SparkEntry.events(spark, sfDir).select(col("event_id"), col("user_id"), col("ts"))
+    val saBuild = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+        col("o_orderkey"), col("o_totalprice"))
+    val sa = graft.streaming.StreamAsOf.enrichLatest(saProbe, saBuild, "user_id", "ts",
+      Seq("o_orderkey", "o_totalprice"), buildOrder = Seq("o_orderkey"))
+    val saPlan = sa.queryExecution.executedPlan.toString
+    println("=== stream as-of (stateless stream-static equi-join) ===")
+    check("stream asof: no cartesian product")(!saPlan.contains("CartesianProduct"))
+    check("stream asof: no nested loop")(!saPlan.contains("NestedLoop"))
+    check("stream asof: no window state")(!saPlan.contains("Window"))
+
     // --- visited_poi: inline predicate — single scan, zero joins/shuffles ---
     val sur = t.where(col("traj_id") === "3")
       .select(col("lat"), col("lon"), (col("lat") * 1000.0).as("dist_poi"))

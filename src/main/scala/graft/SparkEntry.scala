@@ -2,9 +2,9 @@ package graft
 
 import graft.asof.AsOfJoin
 import graft.core.{Canonical, TrajSchema}
-import graft.features.{Kinematic, Temporal}
+import graft.features.{Kinematic, Rolling, Temporal}
 import graft.filters.{Filters, Hampel}
-import graft.interp.Interpolation
+import graft.interp.{Fill, Interpolation}
 import graft.kernels.Geo
 import graft.session.Sessionize
 import graft.stats.Stats
@@ -63,6 +63,13 @@ object SparkEntry {
       (col("value") % 1.0 - 0.5 + 39.0).as("lat"),
       (col("value") * 7.0 % 1.0 - 0.5 + 116.0).as("lon")
     )
+
+  /** [[traj]] with deterministically nulled channels — the fill operators'
+    * fixture (the oracle applies the same `event_id mod` masks). */
+  private def sparseTraj(sp: SparkSession, dir: String): DataFrame =
+    traj(sp, dir)
+      .withColumn("lat", when(pmod(col("event_id"), lit(7L)) < 3L, lit(null).cast("double")).otherwise(col("lat")))
+      .withColumn("lon", when(pmod(col("event_id"), lit(5L)) < 2L, lit(null).cast("double")).otherwise(col("lon")))
 
   /** The same view in DuckDB SQL — MUST mirror the Spark expression order
     * op-for-op (all ops exact IEEE, so the two engines agree bitwise). */
@@ -536,6 +543,26 @@ object SparkEntry {
       Interpolation.kinematic(traj(sp, dir).drop("event_id"), S.copy(orderCols = Nil), 43200.0)
         .select(col("traj_id"), col("ts"), r(col("lat"), 6).as("lat"), r(col("lon"), 6).as("lon"))),
 
+    // Gap backfill without row synthesis: LOCF over deterministically
+    // nulled channels (`event_id mod` masks — same masks in the oracle);
+    // `lat_gap` exercises the gap-bounded carry (sensor-dropout law).
+    // Filled values are COPIES of source rows — bit-exact by construction.
+    "q_fill_locf" -> ((sp, dir) => {
+      val base = sparseTraj(sp, dir).withColumn("lat_gap", col("lat"))
+      Fill.locf(Fill.locf(base, S, Seq("lat", "lon")), S, Seq("lat_gap"), maxGapSec = 7200.0)
+        .select(col("traj_id"), col("event_id"), col("lat"), col("lon"), col("lat_gap"))
+    }),
+    // mirrored direction (next observation carried backward)
+    "q_fill_bfill" -> ((sp, dir) =>
+      Fill.bfill(sparseTraj(sp, dir), S, Seq("lat", "lon"))
+        .select(col("traj_id"), col("event_id"), col("lat"), col("lon"))),
+    // trailing rolling-window aggregates (k=16 rows): count/min/max/mean +
+    // local event rate — the generic windowed-feature operator
+    "q_roll_stats" -> ((sp, dir) =>
+      Rolling.withRolling(traj(sp, dir), S, "lat", 16)
+        .select(col("traj_id"), col("event_id"), col("roll_n"), col("roll_min"),
+          col("roll_max"), col("roll_mean"), col("roll_rate_hz"))),
+
     // ---- streaming operators, replayed deterministically (StreamDrive) ----
     // real Structured Streaming runs (file source, AvailableNow, one file
     // per micro-batch) whose output provably equals the batch operator —
@@ -543,7 +570,11 @@ object SparkEntry {
     "q_stream_dedup" -> ((sp, dir) =>
       graft.streaming.StreamDrive.dedupOverDocuments(sp, dir)),
     "q_stream_ses" -> ((sp, dir) =>
-      graft.streaming.StreamDrive.sessionizeOverEvents(sp, dir, gapSeconds = 3600.0))
+      graft.streaming.StreamDrive.sessionizeOverEvents(sp, dir, gapSeconds = 3600.0)),
+
+    // streaming point-in-time enrichment (stateless stream-static as-of);
+    // same oracle as q_asof_orders — replay ≡ batch row-for-row
+    "q_stream_asof" -> ((sp, dir) => graft.streaming.StreamDrive.asOfOverEvents(sp, dir))
   )
 
   def oracleSql: Map[String, String] = {
@@ -809,6 +840,7 @@ object SparkEntry {
       "q_asof_orders_merge" -> backwardAsOfSql,
       "q_asof_orders_banded" -> backwardAsOfSql,
       "q_asof_orders" -> backwardAsOfSql,
+      "q_stream_asof" -> backwardAsOfSql,
       "q_asof_forward_banded" -> forwardAsOfSql,
       "q_asof_nearest_banded" -> nearestAsOfSql,
       "q_asof_forward" -> forwardAsOfSql,
@@ -924,7 +956,54 @@ object SparkEntry {
            |SELECT traj_id, make_timestamp(epoch_us(pts) + 43200000000) AS ts,
            |  round(plat + pvlat * td + td * td * blat / 2.0 + td * td * td * clat / 6.0, 6) + 0.0 AS lat,
            |  round(plon + pvlon * td + td * td * blon / 2.0 + td * td * td * clon / 6.0, 6) + 0.0 AS lon
-           |FROM co WHERE dt > 43200.0 AND pvlat IS NOT NULL""".stripMargin
+           |FROM co WHERE dt > 43200.0 AND pvlat IS NOT NULL""".stripMargin,
+      "q_fill_locf" ->
+        s"""$TrajSql, sparse AS (
+           |  SELECT traj_id, ts, event_id,
+           |    CASE WHEN event_id % 7 < 3 THEN NULL ELSE lat END AS lat,
+           |    CASE WHEN event_id % 5 < 2 THEN NULL ELSE lon END AS lon
+           |  FROM traj
+           |), filled AS (
+           |  SELECT traj_id, ts, event_id,
+           |    coalesce(lat, last_value(lat IGNORE NULLS) OVER w) AS lat,
+           |    coalesce(lon, last_value(lon IGNORE NULLS) OVER w) AS lon,
+           |    last_value(lat IGNORE NULLS) OVER w AS lv,
+           |    last_value(CASE WHEN lat IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER w AS sts,
+           |    lat AS lat0
+           |  FROM sparse
+           |  WINDOW w AS (PARTITION BY traj_id ORDER BY ts, event_id
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |)
+           |SELECT traj_id, event_id, lat, lon,
+           |  coalesce(lat0, CASE WHEN abs(epoch_us(ts) - sts) <= 7200000000 THEN lv END) AS lat_gap
+           |FROM filled""".stripMargin,
+      "q_fill_bfill" ->
+        s"""$TrajSql, sparse AS (
+           |  SELECT traj_id, ts, event_id,
+           |    CASE WHEN event_id % 7 < 3 THEN NULL ELSE lat END AS lat,
+           |    CASE WHEN event_id % 5 < 2 THEN NULL ELSE lon END AS lon
+           |  FROM traj
+           |)
+           |SELECT traj_id, event_id,
+           |  coalesce(lat, last_value(lat IGNORE NULLS) OVER w) AS lat,
+           |  coalesce(lon, last_value(lon IGNORE NULLS) OVER w) AS lon
+           |FROM sparse
+           |WINDOW w AS (PARTITION BY traj_id ORDER BY ts DESC, event_id DESC
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+      "q_roll_stats" ->
+        s"""$TrajSql
+           |SELECT traj_id, event_id,
+           |  count(lat) OVER w AS roll_n,
+           |  min(lat) OVER w AS roll_min,
+           |  max(lat) OVER w AS roll_max,
+           |  avg(lat) OVER w AS roll_mean,
+           |  CASE WHEN count(lat) OVER w > 1
+           |        AND (epoch_us(ts) - first_value(epoch_us(ts)) OVER w) / 1000000.0 > 0.0
+           |       THEN (count(lat) OVER w - 1) / ((epoch_us(ts) - first_value(epoch_us(ts)) OVER w) / 1000000.0)
+           |  END AS roll_rate_hz
+           |FROM traj
+           |WINDOW w AS (PARTITION BY traj_id ORDER BY ts, event_id
+           |             ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)""".stripMargin
     )
   }
 

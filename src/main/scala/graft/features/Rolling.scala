@@ -1,0 +1,55 @@
+package graft.features
+
+import graft.core.{Times, TrajSchema}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trailing rolling-window aggregates per entity — the generic form of the
+  * windowed feature family the kinematic chain special-cases (lag-1 diffs)
+  * and Hampel fences (centered median window): smoothed signals a
+  * downstream model consumes as features at each (entity, ts). The
+  * reference reaches these through pandas `rolling` on its per-trajectory
+  * frames; here one operator serves any numeric column.
+  *
+  * Laws: the frame is the TRAILING k rows (current row inclusive), so
+  * zero temporal leakage holds by the frame bound; rows earlier than k−1
+  * slots into their entity aggregate over what exists (pandas
+  * `min_periods=1` semantics); `roll_n` reports the actual slot count so
+  * callers can mask warm-up rows. `roll_rate_hz` is the local event rate:
+  * (roll_n − 1) / (timespan of the frame in seconds) — null for
+  * single-row frames or zero span (duplicate timestamps).
+  *
+  * Scale shape: ONE hash exchange on the entity, ONE sort; all frames are
+  * row-bounded sliding windows over the same window spec (one WindowExec,
+  * buffer bounded by k — no whole-partition frames); every aggregate here
+  * is whole-stage-friendly and the projection prunes to (keys, value)
+  * before the exchange. Skewed whale entities: same banding remedy as the
+  * kinematic windows ([[Kinematic.withKinematicsSalted]]). */
+object Rolling {
+
+  /** Adds `roll_n`, `roll_min`, `roll_max`, `roll_mean`, `roll_rate_hz`
+    * over the trailing `k` rows of `valueCol` (ordered by `s.ordering`,
+    * per `s.id`). */
+  def withRolling(df: DataFrame, s: TrajSchema, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"rolling window must be >= 1 row, got $k")
+    val w = Window.partitionBy(s.idCol).orderBy(s.ordering: _*)
+      .rowsBetween(-(k - 1).toLong, Window.currentRow)
+    val v = col(valueCol)
+    val m = Times.micros(s.tsCol)
+    // every window expression in ONE projection → the optimizer plans a
+    // single WindowExec (chained withColumns re-derive the count/first
+    // frames in a second Window node — Explain-gated against)
+    val windowed = df.select(col("*"),
+      count(v).over(w).as("roll_n"),
+      min(v).over(w).as("roll_min"),
+      max(v).over(w).as("roll_max"),
+      avg(v).over(w).as("roll_mean"),
+      first(m).over(w).as("_roll_first_m"))
+    val span = (m - col("_roll_first_m")).cast("double") / 1e6
+    windowed
+      .withColumn("roll_rate_hz",
+        when(col("roll_n") > 1 && span > 0.0, (col("roll_n") - 1).cast("double") / span))
+      .drop("_roll_first_m")
+  }
+}

@@ -152,4 +152,25 @@ object StreamDrive {
       StreamSessionize.byGap(s, gapSeconds, idleStateTimeoutSec = None).toDF())
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
   }
+
+  /** `q_stream_asof`: streaming point-in-time enrichment of the events
+    * stream against the static orders table (backward as-of semantics) —
+    * replayed file-by-file; output equals the batch as-of row-for-row
+    * (same oracle as `q_asof_orders`). All operators are stateless, so no
+    * state partitions / watermark tuning applies. */
+  def asOfOverEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val probe = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val build = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+        col("o_orderkey"), col("o_totalprice"))
+      .cache() // static side re-evaluates per micro-batch otherwise
+    val stage = stageRanges(probe, "ts", 4)
+    try {
+      replay(spark, stage, s =>
+        StreamAsOf.enrichLatest(s, build, "user_id", "ts",
+            Seq("o_orderkey", "o_totalprice"), buildOrder = Seq("o_orderkey"))
+          .select(col("event_id"), col("asof_ts"), col("o_orderkey"), col("o_totalprice")))
+    } finally build.unpersist()
+  }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import graft.asof.AsOfJoin
+import graft.streaming.StreamAsOf
+import org.apache.spark.sql.functions._
+
+/** StreamAsOf laws: the stateless array formulation is exceptAll-equal to
+  * AsOfJoin.backward on the same (batch) frames — ties, tolerance, null
+  * event times — and the per-entity history cap raises loudly. (The
+  * replayed-stream equivalence is the driver-gated `q_stream_asof`, which
+  * shares `q_asof_orders`' oracle.) */
+class StreamAsOfSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def probe = Seq(
+    (1L, "u", "2024-01-01 00:00:00"),
+    (2L, "u", "2024-01-01 02:00:00"),
+    (3L, "u", "2024-01-01 05:00:00"),
+    (4L, "v", "2024-01-01 01:00:00"),
+    (5L, "w", "2024-01-01 01:00:00"), // entity with no builds
+    (6L, "u", null.asInstanceOf[String]) // null event time
+  ).toDF("event_id", "entity", "ts_s")
+    .selectExpr("event_id", "entity", "cast(ts_s as timestamp) as ts")
+
+  private def build = Seq(
+    (10L, "u", "2024-01-01 00:00:00", 1.0),
+    (11L, "u", "2024-01-01 02:00:00", 2.0),
+    (12L, "u", "2024-01-01 02:00:00", 3.0), // equal-ts tie: largest buildOrder (12) wins
+    (13L, "u", "2024-01-01 04:00:00", 4.0),
+    (14L, "v", "2024-01-01 00:30:00", 5.0),
+    (15L, "v", null.asInstanceOf[String], 9.0) // null build ts: never a candidate
+  ).toDF("bid", "entity", "ts_s", "v")
+    .selectExpr("bid", "entity", "cast(ts_s as timestamp) as ts", "v")
+
+  test("batch parity with AsOfJoin.backward, incl. ties, null ts, missing entity") {
+    val got = StreamAsOf.enrichLatest(probe, build, "entity", "ts",
+      Seq("bid", "v"), buildOrder = Seq("bid"))
+    val want = AsOfJoin.backward(probe, build, "entity", "ts",
+      Seq("bid", "v"), buildOrder = Seq("bid"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    val byId = got.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(r.fieldIndex("bid"))) None else Some(r.getLong(r.fieldIndex("bid"))))).toMap
+    assert(byId(2L) == Some(12L), "equal-ts tie must go to the largest buildOrder")
+    assert(byId(5L) == None && byId(6L) == None)
+  }
+
+  test("tolerance bounds the lookback like the batch operator") {
+    val got = StreamAsOf.enrichLatest(probe, build, "entity", "ts",
+      Seq("bid", "v"), buildOrder = Seq("bid"), toleranceSec = 3600.0)
+    val want = AsOfJoin.backward(probe, build, "entity", "ts",
+      Seq("bid", "v"), toleranceSec = 3600.0, buildOrder = Seq("bid"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // event 3 (05:00) is 1h past build 13 (04:00): boundary inclusive
+    val r3 = got.where(col("event_id") === 3L).head()
+    assert(r3.getLong(r3.fieldIndex("bid")) == 13L)
+  }
+
+  test("per-entity history cap raises loudly") {
+    val bigBuild = (1L to 50L).map(i => (i, "u", new java.sql.Timestamp(1700000000000L + i * 1000)))
+      .toDF("bid", "entity", "ts")
+    val e = intercept[Exception] {
+      StreamAsOf.enrichLatest(probe, bigBuild, "entity", "ts", Seq("bid"),
+        maxBuildsPerEntity = 10).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("build rows")), s"expected the loud cap, got: ${e.getMessage}")
+  }
+}
