@@ -281,6 +281,45 @@ object Explain {
     check(s"rolling: one sort, got $rollSorts")(rollSorts == 1)
     check("rolling: no unbounded-following frame")(!rollPlan.contains("unboundedfollowing$()"))
 
+    // --- time-range rolling: same single exchange/sort/WindowExec shape,
+    // value-bounded RANGE frame (state = rows inside the span, never the
+    // whole partition) ---
+    val trolled = graft.features.Rolling.withRollingTime(t, SparkEntry.S, "lat", 1800.0)
+    val trollPlan = trolled.queryExecution.executedPlan.toString
+    println("=== time-range rolling (single RANGE-frame WindowExec) ===")
+    val trollExchanges = "Exchange hashpartitioning".r.findAllIn(trollPlan).length
+    val trollWindows = "\\bWindow \\[".r.findAllIn(trollPlan).length
+    check(s"troll: one exchange, got $trollExchanges")(trollExchanges == 1)
+    check(s"troll: one WindowExec, got $trollWindows")(trollWindows == 1)
+    check("troll: no unbounded-following frame")(!trollPlan.contains("unboundedfollowing$()"))
+
+    // --- resample: ONE partial-aggregated hash aggregate on (entity, bin)
+    // — the shuffle carries one row per (entity, bin) per map partition,
+    // never per ping; no window, no sort ---
+    val res = graft.features.Resample.downsample(t, SparkEntry.S, 21600.0)
+    val resPlan = res.queryExecution.executedPlan.toString
+    println("=== resample (one map-side-combined aggregate, no window) ===")
+    val resExchanges = "Exchange hashpartitioning".r.findAllIn(resPlan).length
+    check(s"resample: one exchange, got $resExchanges")(resExchanges == 1)
+    check("resample: map-side partial aggregation")(
+      resPlan.contains("partial_min_by") || resPlan.contains("partial_count"))
+    check("resample: no WindowExec")(!"\\bWindow \\[".r.findAllIn(resPlan).hasNext)
+
+    // --- JSON extraction: pure scan-level projection — zero exchanges,
+    // zero joins, and the optimizer must have pruned the parse schema to
+    // the single requested field (JsonToStructs is CodegenFallback, so the
+    // projection is legitimately outside whole-stage codegen) ---
+    val jsonDf = graft.sources.Json.extract(
+      SparkEntry.events(spark, sfDir).select(col("event_id"), col("props")),
+      "props", Seq("k" -> org.apache.spark.sql.types.LongType), prefix = "props_")
+    val jsonPlan = jsonDf.queryExecution.executedPlan.toString
+    val jsonOpt = jsonDf.queryExecution.optimizedPlan.toString
+    println("=== json extract (scan-level, pruned parse) ===")
+    check("json: zero exchanges")(!jsonPlan.contains("Exchange"))
+    check("json: no join")(!jsonPlan.contains("Join"))
+    check("json: parse schema pruned to the requested field")(
+      jsonOpt.contains("from_json(StructField(k,LongType,true)"))
+
     // --- stream as-of (batch formulation): compacted build side joins on
     // the ENTITY with a hash join — never nested-loop over histories ---
     val saProbe = SparkEntry.events(spark, sfDir).select(col("event_id"), col("user_id"), col("ts"))

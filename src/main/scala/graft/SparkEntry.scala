@@ -2,7 +2,7 @@ package graft
 
 import graft.asof.AsOfJoin
 import graft.core.{Canonical, TrajSchema}
-import graft.features.{Kinematic, Rolling, Temporal}
+import graft.features.{Kinematic, Resample, Rolling, Temporal}
 import graft.filters.{Filters, Hampel}
 import graft.interp.{Fill, Interpolation}
 import graft.kernels.Geo
@@ -562,6 +562,26 @@ object SparkEntry {
       Rolling.withRolling(traj(sp, dir), S, "lat", 16)
         .select(col("traj_id"), col("event_id"), col("roll_n"), col("roll_min"),
           col("roll_max"), col("roll_mean"), col("roll_rate_hz"))),
+    // time-based sibling: trailing 30-minute RANGE frame (peers share the
+    // frame — deterministic without a tie-break)
+    "q_roll_time" -> ((sp, dir) =>
+      Rolling.withRollingTime(traj(sp, dir), S, "lat", 1800.0)
+        .select(col("traj_id"), col("event_id"), col("troll_n"), col("troll_min"),
+          col("troll_max"), col("troll_mean"), col("troll_sum"))),
+    // fixed-frequency downsample: one row per (entity, 6h bin) — first/
+    // last by total order, bin centroid (means rounded — see r() policy)
+    "q_resample" -> ((sp, dir) =>
+      Resample.downsample(traj(sp, dir), S, 21600.0)
+        .select(col("traj_id"), col("bin_ts"), col("n_points"),
+          col("first_lat"), col("first_lon"), col("last_lat"), col("last_lon"),
+          r(col("lat_mean"), 6).as("lat_mean"), r(col("lon_mean"), 6).as("lon_mean"))),
+    // typed JSON property extraction off the raw events payload —
+    // per-field pruned from_json parses riding the scan
+    "q_src_json_props" -> ((sp, dir) =>
+      graft.sources.Json.extract(
+          events(sp, dir).select(col("event_id"), col("event_type"), col("props")),
+          "props", Seq("k" -> org.apache.spark.sql.types.LongType), prefix = "props_")
+        .select(col("event_id"), col("event_type"), col("props_k"))),
 
     // ---- streaming operators, replayed deterministically (StreamDrive) ----
     // real Structured Streaming runs (file source, AvailableNow, one file
@@ -1003,7 +1023,41 @@ object SparkEntry {
            |  END AS roll_rate_hz
            |FROM traj
            |WINDOW w AS (PARTITION BY traj_id ORDER BY ts, event_id
-           |             ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)""".stripMargin
+           |             ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)""".stripMargin,
+      "q_roll_time" ->
+        s"""$TrajSql
+           |SELECT traj_id, event_id,
+           |  count(lat) OVER w AS troll_n,
+           |  min(lat) OVER w AS troll_min,
+           |  max(lat) OVER w AS troll_max,
+           |  avg(lat) OVER w AS troll_mean,
+           |  sum(lat) OVER w AS troll_sum
+           |FROM traj
+           |WINDOW w AS (PARTITION BY traj_id ORDER BY epoch_us(ts)
+           |             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+      "q_resample" ->
+        s"""$TrajSql, b AS (
+           |  SELECT traj_id, ts, event_id, lat, lon,
+           |    epoch_us(ts) - epoch_us(ts) % 21600000000 AS binm
+           |  FROM traj
+           |), rnk AS (
+           |  SELECT *,
+           |    row_number() OVER (PARTITION BY traj_id, binm ORDER BY ts, event_id) AS ra,
+           |    row_number() OVER (PARTITION BY traj_id, binm ORDER BY ts DESC, event_id DESC) AS rd
+           |  FROM b
+           |)
+           |SELECT traj_id, make_timestamp(binm) AS bin_ts, count(*) AS n_points,
+           |  max(CASE WHEN ra = 1 THEN lat END) AS first_lat,
+           |  max(CASE WHEN ra = 1 THEN lon END) AS first_lon,
+           |  max(CASE WHEN rd = 1 THEN lat END) AS last_lat,
+           |  max(CASE WHEN rd = 1 THEN lon END) AS last_lon,
+           |  round(avg(lat), 6) + 0.0 AS lat_mean,
+           |  round(avg(lon), 6) + 0.0 AS lon_mean
+           |FROM rnk GROUP BY traj_id, binm""".stripMargin,
+      "q_src_json_props" ->
+        """SELECT event_id, event_type,
+          |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+          |FROM events""".stripMargin
     )
   }
 

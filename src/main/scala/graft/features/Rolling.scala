@@ -52,4 +52,31 @@ object Rolling {
         when(col("roll_n") > 1 && span > 0.0, (col("roll_n") - 1).cast("double") / span))
       .drop("_roll_first_m")
   }
+
+  /** Time-based sibling of [[withRolling]]: aggregates over the trailing
+    * `windowSec` seconds (inclusive of the current row's instant) — the
+    * pandas `rolling("5min")` shape. Adds `troll_n`, `troll_min`,
+    * `troll_max`, `troll_mean`, `troll_sum`.
+    *
+    * Laws: the frame is a RANGE frame over epoch micros, so rows sharing a
+    * timestamp are frame PEERS — every peer sees the identical frame and
+    * the output is deterministic without a tie-break column (a row-bounded
+    * frame can't promise that). Zero temporal leakage by the frame bound.
+    *
+    * Scale shape: same single exchange + sort as [[withRolling]]; the
+    * frame is value-bounded so per-row state is the rows inside the span
+    * (bounded by data rate × windowSec), never the whole partition. */
+  def withRollingTime(df: DataFrame, s: TrajSchema, valueCol: String, windowSec: Double): DataFrame = {
+    require(windowSec > 0, s"rolling time window must be positive, got $windowSec")
+    val m = Times.micros(s.tsCol)
+    val w = Window.partitionBy(s.idCol).orderBy(m)
+      .rangeBetween(-(windowSec * 1e6).toLong, Window.currentRow)
+    val v = col(valueCol)
+    df.select(col("*"),
+      count(v).over(w).as("troll_n"),
+      min(v).over(w).as("troll_min"),
+      max(v).over(w).as("troll_max"),
+      avg(v).over(w).as("troll_mean"),
+      sum(v).over(w).as("troll_sum"))
+  }
 }
