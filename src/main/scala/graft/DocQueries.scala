@@ -305,6 +305,12 @@ object DocQueries {
       graft.sample.Sampling.stratified(docs(sp, dir), "lang",
           Map("en" -> 0.5, "de" -> 0.2), key = "doc_id", defaultFraction = 0.05)
         .select(col("doc_id"), col("lang"))),
+    // per-domain frequency cap: at most 15 docs per source, best-first by
+    // (n_chars desc, doc_id asc) — the WindowGroupLimit map-side top-n
+    "q_smp_cap" -> ((sp, dir) =>
+      graft.sample.Sampling.capPerKey(docs(sp, dir), "source", 15,
+          Seq(col("n_chars").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("source"), col("n_chars"))),
     // temperature-scaled mixture (τ = 0.5 → sqrt weights, bit-portable):
     // up-weights the tail languages, overall keep rate 20%
     "q_smp_mixture" -> ((sp, dir) =>
@@ -863,6 +869,13 @@ object DocQueries {
            |       WHEN lang = 'de' THEN ${(0.2 * 1000000).toLong}
            |       ELSE ${(0.05 * 1000000).toLong} END""".stripMargin
       },
+      "q_smp_cap" ->
+        """SELECT doc_id, source, n_chars FROM (
+          |  SELECT doc_id, source, n_chars,
+          |    row_number() OVER (PARTITION BY source
+          |                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+          |  FROM documents)
+          |WHERE rn <= 15""".stripMargin,
       "q_smp_mixture" -> {
         // τ = 0.5 mixture over lang at overall rate 0.2 — sqrt/÷/× are all
         // correctly-rounded IEEE ops and the weight fold is ORDER-FIXED

@@ -320,6 +320,42 @@ object Explain {
     check("json: parse schema pruned to the requested field")(
       jsonOpt.contains("from_json(StructField(k,LongType,true)"))
 
+    // --- rolling z-score: the count + two sums must fuse into the SAME
+    // single bounded-frame WindowExec (chained frames would re-sort) ---
+    val zrolled = graft.features.Rolling.withRollingZ(t, SparkEntry.S, "lat", 16)
+    val zrollPlan = zrolled.queryExecution.executedPlan.toString
+    println("=== rolling z-score (one fused bounded-frame WindowExec) ===")
+    check(s"zroll: one exchange")("Exchange hashpartitioning".r.findAllIn(zrollPlan).length == 1)
+    check(s"zroll: one WindowExec")("\\bWindow \\[".r.findAllIn(zrollPlan).length == 1)
+    check("zroll: no unbounded-following frame")(!zrollPlan.contains("unboundedfollowing$()"))
+
+    // --- EWM/CUSUM sequential kernel: ONE exchange, ONE within-partition
+    // sort feeding the O(1)-state MapPartitions fold; no window, no
+    // whole-group buffering (flatMapGroups would show AppendColumns) ---
+    val ewmad = graft.features.Ewma.withEwma(t, SparkEntry.S, "lat", alpha = 0.25, kappa = 0.05)
+    val ewmaPlan = ewmad.queryExecution.executedPlan.toString
+    println("=== ewma (secondary-sort kernel: exchange + sort + mapPartitions) ===")
+    check("ewma: exactly one exchange")("Exchange".r.findAllIn(ewmaPlan).length == 1)
+    check("ewma: one sort")("\\bSort \\[".r.findAllIn(ewmaPlan).length == 1)
+    check("ewma: streaming mapPartitions kernel")(ewmaPlan.contains("MapPartitions"))
+    check("ewma: no WindowExec")(!"\\bWindow \\[".r.findAllIn(ewmaPlan).hasNext)
+    check("ewma: no per-group buffering (AppendColumns)")(!ewmaPlan.contains("AppendColumns"))
+
+    // --- per-key cap: the rank filter must trigger the WindowGroupLimit
+    // rewrite — a map-side top-n per key BEFORE the exchange, so a whale
+    // key ships O(n × tasks) rows, never its full row set ---
+    val capped = graft.sample.Sampling.capPerKey(
+      SparkEntry.events(spark, sfDir).select(col("event_id"), col("event_type"), col("value")),
+      "event_type", 15, Seq(col("value").desc, col("event_id").asc))
+    val capPlan = capped.queryExecution.executedPlan.toString
+    println("=== capPerKey (map-side WindowGroupLimit) ===")
+    check("cap: WindowGroupLimit rewrite fired")(capPlan.contains("WindowGroupLimit"))
+    check("cap: group limit on BOTH sides of the exchange")({
+      val ex = capPlan.indexOf("Exchange")
+      ex >= 0 && capPlan.indexOf("WindowGroupLimit") < ex &&
+        capPlan.indexOf("WindowGroupLimit", ex) > ex
+    })
+
     // --- stream as-of (batch formulation): compacted build side joins on
     // the ENTITY with a hash join — never nested-loop over histories ---
     val saProbe = SparkEntry.events(spark, sfDir).select(col("event_id"), col("user_id"), col("ts"))

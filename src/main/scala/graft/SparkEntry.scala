@@ -568,6 +568,24 @@ object SparkEntry {
       Rolling.withRollingTime(traj(sp, dir), S, "lat", 1800.0)
         .select(col("traj_id"), col("event_id"), col("troll_n"), col("troll_min"),
           col("troll_max"), col("troll_mean"), col("troll_sum"))),
+    // rolling z-score anomaly channel: explicit (Σx, Σx²) variance so the
+    // oracle replays the identical IEEE op order (std 5 dp, z 3 dp — both
+    // carry ~1e-10 cross-engine associativity error, far inside the grid)
+    "q_roll_z" -> ((sp, dir) =>
+      Rolling.withRollingZ(traj(sp, dir), S, "lat", 16)
+        .select(col("traj_id"), col("event_id"), col("zroll_n"),
+          r(col("zroll_mean"), 6).as("zroll_mean"),
+          r(col("zroll_std"), 5).as("zroll_std"),
+          r(col("zroll_z"), 3).as("zroll_z"))),
+    // EWM mean + CUSUM drift via the sequential secondary-sort kernel —
+    // bit-exact recurrence (α = 0.25 → β = 0.75 exactly representable;
+    // rounding is insurance only)
+    "q_ewma" -> ((sp, dir) =>
+      graft.features.Ewma.withEwma(traj(sp, dir), S, "lat", alpha = 0.25, kappa = 0.05)
+        .select(col("traj_id"), col("ord").as("event_id"),
+          r(col("ewm"), 7).as("ewm"),
+          r(col("cusum_pos"), 7).as("cusum_pos"),
+          r(col("cusum_neg"), 7).as("cusum_neg"))),
     // fixed-frequency downsample: one row per (entity, 6h bin) — first/
     // last by total order, bin centroid (means rounded — see r() policy)
     "q_resample" -> ((sp, dir) =>
@@ -1035,6 +1053,53 @@ object SparkEntry {
            |FROM traj
            |WINDOW w AS (PARTITION BY traj_id ORDER BY epoch_us(ts)
            |             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+      "q_roll_z" ->
+        s"""$TrajSql, wsum AS (
+           |  SELECT traj_id, event_id, lat,
+           |    count(lat) OVER w AS zroll_n,
+           |    sum(lat) OVER w AS s1,
+           |    sum(lat * lat) OVER w AS s2
+           |  FROM traj
+           |  WINDOW w AS (PARTITION BY traj_id ORDER BY ts, event_id
+           |               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+           |)
+           |SELECT traj_id, event_id, zroll_n,
+           |  round(s1 / zroll_n, 6) + 0.0 AS zroll_mean,
+           |  CASE WHEN zroll_n > 1 THEN
+           |    round(sqrt(greatest((s2 - s1 * s1 / zroll_n) / (zroll_n - 1.0), 0.0)), 5) + 0.0
+           |  END AS zroll_std,
+           |  CASE WHEN zroll_n > 1
+           |        AND sqrt(greatest((s2 - s1 * s1 / zroll_n) / (zroll_n - 1.0), 0.0)) > 0.0 THEN
+           |    round((lat - s1 / zroll_n)
+           |          / sqrt(greatest((s2 - s1 * s1 / zroll_n) / (zroll_n - 1.0), 0.0)), 3) + 0.0
+           |  END AS zroll_z
+           |FROM wsum""".stripMargin,
+      // the exact EWM/CUSUM recurrence replayed as a recursive CTE — one
+      // step per per-entity row rank, term-for-term the kernel's op order
+      "q_ewma" ->
+        s"""${TrajSql.replaceFirst("WITH traj", "WITH RECURSIVE traj")}, base AS (
+           |  SELECT traj_id, event_id, lat AS v,
+           |    row_number() OVER (PARTITION BY traj_id ORDER BY ts, event_id) AS rn
+           |  FROM traj
+           |), rec AS (
+           |  SELECT traj_id, event_id, v, rn,
+           |    v AS num, 1.0::DOUBLE AS den, v AS ewm,
+           |    0.0::DOUBLE AS cp, 0.0::DOUBLE AS cn
+           |  FROM base WHERE rn = 1
+           |  UNION ALL
+           |  SELECT b.traj_id, b.event_id, b.v, b.rn,
+           |    b.v + 0.75 * r.num,
+           |    1.0 + 0.75 * r.den,
+           |    (b.v + 0.75 * r.num) / (1.0 + 0.75 * r.den),
+           |    greatest(0.0, r.cp + (b.v - r.ewm - 0.05)),
+           |    least(0.0, r.cn + (b.v - r.ewm + 0.05))
+           |  FROM rec r JOIN base b ON b.traj_id = r.traj_id AND b.rn = r.rn + 1
+           |)
+           |SELECT traj_id, event_id,
+           |  round(ewm, 7) + 0.0 AS ewm,
+           |  round(cp, 7) + 0.0 AS cusum_pos,
+           |  round(cn, 7) + 0.0 AS cusum_neg
+           |FROM rec""".stripMargin,
       "q_resample" ->
         s"""$TrajSql, b AS (
            |  SELECT traj_id, ts, event_id, lat, lon,

@@ -66,6 +66,42 @@ object Rolling {
     * Scale shape: same single exchange + sort as [[withRolling]]; the
     * frame is value-bounded so per-row state is the rows inside the span
     * (bounded by data rate × windowSec), never the whole partition. */
+  /** Rolling z-score anomaly channel over the trailing `k` rows: adds
+    * `zroll_n`, `zroll_mean`, `zroll_std` (sample std) and `zroll_z` — how
+    * many trailing-window standard deviations the CURRENT value sits from
+    * the trailing mean. The streaming-friendly cousin of the Hampel fence
+    * (mean/std where Hampel uses median/MAD): cheap, leakage-free by the
+    * trailing frame bound, and the standard first-line sensor-glitch flag.
+    *
+    * Variance is computed EXPLICITLY from (Σx, Σx²) —
+    * `(Σx² − (Σx)²/n) / (n−1)`, clamped at 0 — rather than through the
+    * built-in `stddev` so the oracle can replay the identical IEEE op
+    * order (engine-native stddev implementations differ in accumulation
+    * scheme). `zroll_std`/`zroll_z` are null for single-row frames;
+    * `zroll_z` is additionally null when the window is constant (std 0).
+    *
+    * Scale shape: same ONE exchange + ONE sort + ONE row-bounded
+    * WindowExec as [[withRolling]] — the two sums ride the same frame. */
+  def withRollingZ(df: DataFrame, s: TrajSchema, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"z-score window must be >= 2 rows, got $k")
+    val w = Window.partitionBy(s.idCol).orderBy(s.ordering: _*)
+      .rowsBetween(-(k - 1).toLong, Window.currentRow)
+    val v = col(valueCol)
+    val windowed = df.select(col("*"),
+      count(v).over(w).as("zroll_n"),
+      sum(v).over(w).as("_z_s1"),
+      sum(v * v).over(w).as("_z_s2"))
+    val n = col("zroll_n").cast("double")
+    val mean = col("_z_s1") / n
+    val varS = (col("_z_s2") - col("_z_s1") * col("_z_s1") / n) / (n - 1.0)
+    val std = sqrt(greatest(varS, lit(0.0)))
+    windowed
+      .withColumn("zroll_mean", mean)
+      .withColumn("zroll_std", when(col("zroll_n") > 1, std))
+      .withColumn("zroll_z", when(col("zroll_n") > 1 && std > 0.0, (v - mean) / std))
+      .drop("_z_s1", "_z_s2")
+  }
+
   def withRollingTime(df: DataFrame, s: TrajSchema, valueCol: String, windowSec: Double): DataFrame = {
     require(windowSec > 0, s"rolling time window must be positive, got $windowSec")
     val m = Times.micros(s.tsCol)

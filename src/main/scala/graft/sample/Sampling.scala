@@ -2,6 +2,7 @@ package graft.sample
 
 import graft.functions.TextHash
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus sampling for training-data pipelines (engine-added;
@@ -155,6 +156,31 @@ object Sampling {
     * threshold (filter-only plan) to a broadcast threshold join — deep
     * CaseWhen trees blow the analyzer stack and linear-scan per row. */
   val MaxCaseStrata: Int = 64
+
+  /** Per-key frequency cap: keep at most `n` rows per `keyCol`, chosen by
+    * `priority` (first = best) — the C4/FineWeb-style per-domain cap that
+    * stops one hot domain (boilerplate mills, mirrors, crawl loops) from
+    * dominating a training mixture. Unlike [[byMixture]] (which rescales
+    * the whole distribution) this is a hard ceiling with an explicit
+    * keep-the-best policy — e.g. `priority = (quality desc, id asc)`.
+    *
+    * `priority` must be a TOTAL order per key (tie-break on a unique id)
+    * or the kept set is nondeterministic under re-partitioning.
+    *
+    * Scale shape: rank-limit, not a global sort — the `row_number <= n`
+    * filter triggers Catalyst's WindowGroupLimit rewrite, which inserts a
+    * per-MAP-PARTITION group-limit BEFORE the exchange (each task forwards
+    * at most `n` rows per key it sees), so a whale domain ships
+    * O(n × tasks) rows through the shuffle, never its full row set. The
+    * Explain gate asserts the map-side limit is present. */
+  def capPerKey(df: DataFrame, keyCol: String, n: Int, priority: Seq[Column]): DataFrame = {
+    require(n >= 1, s"per-key cap must be >= 1, got $n")
+    require(priority.nonEmpty, "capPerKey needs an explicit priority order")
+    val w = Window.partitionBy(col(keyCol)).orderBy(priority: _*)
+    df.withColumn("_cap_rn", row_number().over(w))
+      .where(col("_cap_rn") <= n)
+      .drop("_cap_rn")
+  }
 }
 
 /** Sequence packing: assign documents to fixed token-budget bins — the
