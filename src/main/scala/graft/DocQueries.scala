@@ -361,6 +361,13 @@ object DocQueries {
         .withColumn("pos", col("pos").cast("long"))
     }),
 
+    // ---- BPE merge-candidate scoring: top adjacent token pairs ----
+    // (one map-side-combined aggregate + TakeOrdered; ties fully ordered)
+    "q_tok_pair_counts" -> ((sp, dir) =>
+      graft.text.TokenStats.pairCounts(
+          docs(sp, dir).select(col("doc_id"), TextHash.tokenHashes(col("text")).as("tokens")),
+          topK = 64)),
+
     // ---- token-grid round trip (north-rule per-row invariant) ----
     "q_tok_roundtrip" -> ((sp, dir) => {
       val seqs = docs(sp, dir).select(
@@ -869,6 +876,15 @@ object DocQueries {
            |       WHEN lang = 'de' THEN ${(0.2 * 1000000).toLong}
            |       ELSE ${(0.05 * 1000000).toLong} END""".stripMargin
       },
+      "q_tok_pair_counts" ->
+        s"""WITH t AS (SELECT doc_id, $sqlWordHashes AS wh FROM documents),
+           |p AS (
+           |  SELECT unnest([{'a': wh[i], 'b': wh[i+1]} for i in generate_series(1, len(wh) - 1)]) AS pr
+           |  FROM t WHERE len(wh) >= 2
+           |)
+           |SELECT pr.a AS tok_a, pr.b AS tok_b, count(*) AS n
+           |FROM p GROUP BY 1, 2
+           |ORDER BY n DESC, tok_a ASC, tok_b ASC LIMIT 64""".stripMargin,
       "q_smp_cap" ->
         """SELECT doc_id, source, n_chars FROM (
           |  SELECT doc_id, source, n_chars,

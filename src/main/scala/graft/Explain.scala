@@ -356,6 +356,37 @@ object Explain {
         capPlan.indexOf("WindowGroupLimit", ex) > ex
     })
 
+    // --- transition matrix: lead rides the shared entity clustering (one
+    // exchange + sort), the count is map-side-combined, and the
+    // normalizing window runs over the TINY aggregate — never the grid ---
+    val trans = graft.features.Transitions.transitionCounts(
+      SparkEntry.events(spark, sfDir),
+      graft.core.TrajSchema(id = "user_id", orderCols = Seq("event_id")), "event_type")
+    val transPlan = trans.queryExecution.executedPlan.toString
+    println("=== transitions (entity lead + map-combined agg + tiny norm window) ===")
+    check("trans: map-side partial count")(transPlan.contains("partial_count"))
+    check("trans: at most 3 exchanges")("Exchange".r.findAllIn(transPlan).length <= 3)
+    check("trans: the norm window sits ABOVE the aggregate (post-shrink)")({
+      val agg = transPlan.indexOf("HashAggregate")
+      val win = "\\bWindow \\[".r.findFirstMatchIn(transPlan).map(_.start).getOrElse(-1)
+      // plan prints root-first: above = smaller index
+      agg >= 0 && win >= 0 && win < agg
+    })
+
+    // --- BPE pair counts: per-row pair explode (no join), ONE
+    // map-side-combined aggregate, topK via TakeOrdered (no global sort) ---
+    val pc = graft.text.TokenStats.pairCounts(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), graft.functions.TextHash.tokenHashes(col("text")).as("tokens")),
+      topK = 64)
+    val pcPlan = pc.queryExecution.executedPlan.toString
+    println("=== token pair counts (map-combined agg + TakeOrdered) ===")
+    check("pairs: no join")(!pcPlan.contains("Join"))
+    check("pairs: map-side partial count")(pcPlan.contains("partial_count"))
+    check("pairs: TakeOrderedAndProject, no global Sort")(
+      pcPlan.contains("TakeOrderedAndProject") && !"\\bSort \\[".r.findAllIn(pcPlan).hasNext)
+    check("pairs: one exchange")("Exchange".r.findAllIn(pcPlan).length == 1)
+
     // --- stream as-of (batch formulation): compacted build side joins on
     // the ENTITY with a hash join — never nested-loop over histories ---
     val saProbe = SparkEntry.events(spark, sfDir).select(col("event_id"), col("user_id"), col("ts"))

@@ -568,6 +568,13 @@ object SparkEntry {
       Rolling.withRollingTime(traj(sp, dir), S, "lat", 1800.0)
         .select(col("traj_id"), col("event_id"), col("troll_n"), col("troll_min"),
           col("troll_max"), col("troll_mean"), col("troll_sum"))),
+    // first-order event-type transition matrix over per-user sequences —
+    // counts exact, probability = n / per-state total (integer-exact in
+    // double; rounding is insurance)
+    "q_seq_transitions" -> ((sp, dir) =>
+      graft.features.Transitions.transitionCounts(
+          events(sp, dir), TrajSchema(id = "user_id", orderCols = Seq("event_id")), "event_type")
+        .select(col("state"), col("next_state"), col("n"), r(col("p"), 6).as("p"))),
     // rolling z-score anomaly channel: explicit (Σx, Σx²) variance so the
     // oracle replays the identical IEEE op order (std 5 dp, z 3 dp — both
     // carry ~1e-10 cross-engine associativity error, far inside the grid)
@@ -1053,6 +1060,16 @@ object SparkEntry {
            |FROM traj
            |WINDOW w AS (PARTITION BY traj_id ORDER BY epoch_us(ts)
            |             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+      "q_seq_transitions" ->
+        """WITH steps AS (
+          |  SELECT event_type AS state,
+          |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_state
+          |  FROM events
+          |)
+          |SELECT state, next_state, count(*) AS n,
+          |  round(count(*)::DOUBLE / (sum(count(*)) OVER (PARTITION BY state))::DOUBLE, 6) + 0.0 AS p
+          |FROM steps WHERE next_state IS NOT NULL
+          |GROUP BY state, next_state""".stripMargin,
       "q_roll_z" ->
         s"""$TrajSql, wsum AS (
            |  SELECT traj_id, event_id, lat,

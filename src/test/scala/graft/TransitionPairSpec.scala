@@ -1,0 +1,54 @@
+package graft
+
+import graft.core.TrajSchema
+import graft.features.Transitions
+import graft.text.TokenStats
+import org.apache.spark.sql.functions._
+
+/** Transition-matrix and token-pair-count laws against brute force. */
+class TransitionPairSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("transitionCounts: counts, per-state probabilities, no step across entities") {
+    // u1: A B A B ; u2: B B  (fed out of order) → steps:
+    // u1: A→B, B→A, A→B ; u2: B→B
+    val ev = Seq(
+      ("u1", 3L, 200L, "A"), ("u1", 1L, 0L, "A"), ("u2", 5L, 0L, "B"),
+      ("u1", 2L, 100L, "B"), ("u1", 4L, 300L, "B"), ("u2", 6L, 100L, "B")
+    ).map { case (u, e, sec, t) => (u, e, new java.sql.Timestamp(sec * 1000L), t) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val s = TrajSchema(id = "user_id", orderCols = Seq("event_id"))
+    val out = Transitions.transitionCounts(ev, s, "event_type")
+      .orderBy("state", "next_state").collect()
+    val got = out.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("A", "B", 2L, 1.0), ("B", "A", 1L, 0.5), ("B", "B", 1L, 0.5)),
+      s"got ${got.toSeq}")
+    // per-state probabilities sum to 1
+    val byState = got.groupBy(_._1).map { case (_, rs) => rs.map(_._4).sum }
+    byState.foreach(p => assertClose(Some(p), Some(1.0)))
+  }
+
+  test("pairCounts: brute-force adjacent pairs; short docs contribute nothing; topK tie order") {
+    val docs = Seq(
+      (1L, Seq(10L, 20L, 10L, 20L)), // pairs (10,20)x2, (20,10)x1
+      (2L, Seq(20L, 10L)),           // (20,10)
+      (3L, Seq(7L)),                 // no pair
+      (4L, Seq.empty[Long])          // no pair
+    ).toDF("doc_id", "tokens")
+    val all = TokenStats.pairCounts(docs).orderBy("tok_a", "tok_b").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(all == Map((10L, 20L) -> 2L, (20L, 10L) -> 2L), s"got $all")
+    // topK: tie on n=2 broken by (tok_a, tok_b) ascending
+    val top1 = TokenStats.pairCounts(docs, topK = 1).collect()
+    assert(top1.length == 1 && top1(0).getLong(0) == 10L && top1(0).getLong(1) == 20L)
+  }
+
+  test("pairCounts plans one map-side-combined aggregate and TakeOrdered, no global sort") {
+    val docs = (1 to 50).map(i => (i.toLong, Seq.fill(5)((i % 7).toLong))).toDF("doc_id", "tokens")
+    val plan = TokenStats.pairCounts(docs, topK = 10).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("Partial"), "map-side combine")
+    assert(plan.contains("TakeOrderedAndProject"), s"topK must plan TakeOrdered:\n$plan")
+    assert(!plan.contains("Join"), "no join in the pair explode")
+  }
+}
