@@ -356,6 +356,18 @@ object Explain {
         capPlan.indexOf("WindowGroupLimit", ex) > ex
     })
 
+    // --- spatial proximity join: the 3×3 grid banding must reach the
+    // planner as an EQUI-join on the cell key — the one shape that scales;
+    // a cartesian / nested-loop here is the 2-D O(n²) trap ---
+    val sp2d = graft.kernels.SpatialJoin.selfWithinDistance(
+      SparkEntry.traj(spark, sfDir), distM = 100.0, cellLatDeg = 0.001, cellLonDeg = 0.0015)
+    val sp2dPlan = sp2d.queryExecution.executedPlan.toString
+    println("=== spatial proximity (cell-keyed equi-join) ===")
+    check("spatial: no cartesian product")(!sp2dPlan.contains("CartesianProduct"))
+    check("spatial: no nested-loop join")(!sp2dPlan.contains("BroadcastNestedLoop"))
+    check("spatial: a join is present (banding did not degrade to a filter)")(
+      sp2dPlan.contains("Join"))
+
     // --- transition matrix: lead rides the shared entity clustering (one
     // exchange + sort), the count is map-side-combined, and the
     // normalizing window runs over the TINY aggregate — never the grid ---

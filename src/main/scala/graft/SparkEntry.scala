@@ -568,6 +568,31 @@ object SparkEntry {
       Rolling.withRollingTime(traj(sp, dir), S, "lat", 1800.0)
         .select(col("traj_id"), col("event_id"), col("troll_n"), col("troll_min"),
           col("troll_max"), col("troll_mean"), col("troll_sum"))),
+    // grid-banded proximity self-join: all point pairs within 100 m —
+    // 0.001° lat cells (111 m) × 0.0015° lon cells (129 m at 39.5°N), the
+    // 3×3 neighborhood equi-join, exact haversine re-check. Points are a
+    // 2-D-UNIFORM cloud: lat from the affine hash of event_id, lon from
+    // the affine hash of event_id² — the coordinates must come from
+    // INDEPENDENT forms (any two affine maps of the same scalar put every
+    // point on one 1-D torus line, and the fmod traj view likewise
+    // collapses small `value` mass onto a filament — both make the 100 m
+    // pair set O(n²)-dense; the (id, id²) parabola scatters like uniform:
+    // measured 138 pairs at sf0.01 / 16k at sf0.1 ≈ the Poisson estimate)
+    "q_spatial_pairs" -> ((sp, dir) => {
+      val Pm = 2147483647L
+      def h(x: Column, p: Int): Column = {
+        val a = 506952114L * (2 * p + 1) % Pm
+        val b = 40503L * (p + 1) % Pm
+        (x % Pm) * a % Pm + b
+      }
+      val id = col("event_id")
+      val pts = events(sp, dir).select(id,
+        ((h(id, 0) % Pm).cast("double") / 2147483647.0 - 0.5 + 39.0).as("lat"),
+        ((h(id * id, 1) % Pm).cast("double") / 2147483647.0 - 0.5 + 116.0).as("lon"))
+      graft.kernels.SpatialJoin.selfWithinDistance(
+          pts, distM = 100.0, cellLatDeg = 0.001, cellLonDeg = 0.0015)
+        .select(col("id_a"), col("id_b"), r(col("dist_m"), 3).as("dist_m"))
+    }),
     // first-order event-type transition matrix over per-user sequences —
     // counts exact, probability = n / per-state total (integer-exact in
     // double; rounding is insurance)
@@ -1060,6 +1085,36 @@ object SparkEntry {
            |FROM traj
            |WINDOW w AS (PARTITION BY traj_id ORDER BY epoch_us(ts)
            |             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+      "q_spatial_pairs" -> {
+        val Pm = 2147483647L
+        def hs(x: String, p: Int): String = {
+          val a = 506952114L * (2 * p + 1) % Pm
+          val b = 40503L * (p + 1) % Pm
+          s"(($x % $Pm) * $a % $Pm + $b) % $Pm"
+        }
+        // the oracle mirrors the engine's EQUI-join formulation (replicate
+        // one side to the 3×3 neighborhood) — a BETWEEN range join makes
+        // DuckDB plan an IEJoin that crawls at sf0.1
+        s"""WITH pts AS (
+           |  SELECT event_id,
+           |    ${hs("event_id", 0)} / 2147483647.0 - 0.5 + 39.0 AS lat,
+           |    ${hs("event_id * event_id", 1)} / 2147483647.0 - 0.5 + 116.0 AS lon
+           |  FROM events
+           |), g AS (
+           |  SELECT event_id, lat, lon,
+           |    CAST(floor(lat / 0.001) AS BIGINT) AS cx,
+           |    CAST(floor(lon / 0.0015) AS BIGINT) AS cy
+           |  FROM pts
+           |), rep AS (
+           |  SELECT event_id, lat, lon, cx + dx.g AS cx, cy + dy.g AS cy
+           |  FROM g, generate_series(-1, 1) dx(g), generate_series(-1, 1) dy(g)
+           |)
+           |SELECT p.event_id AS id_a, q.event_id AS id_b,
+           |  round(${havSql("p.lat", "p.lon", "q.lat", "q.lon")}, 3) + 0.0 AS dist_m
+           |FROM rep p JOIN g q
+           |  ON p.cx = q.cx AND p.cy = q.cy AND p.event_id < q.event_id
+           |WHERE ${havSql("p.lat", "p.lon", "q.lat", "q.lon")} <= 100.0""".stripMargin
+      },
       "q_seq_transitions" ->
         """WITH steps AS (
           |  SELECT event_type AS state,

@@ -1,0 +1,105 @@
+package graft.kernels
+
+import graft.dedup.CapAudit
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large × large proximity join: all point pairs within `distM` metres —
+  * the 2-D sibling of the banded interval join (`asof.IntervalJoin`), and
+  * the co-location primitive behind contact tracing, convoy/flock mining
+  * and map-matching candidate generation. The reference's proximity
+  * surface (`visited_poi`, `nearest_poi` — contextual_features.py) only
+  * handles a SMALL poi side (broadcast / inlined OR-chain); this operator
+  * is the case where BOTH sides are data-scale.
+  *
+  * Shape: uniform-grid banding. Each point keys to cell
+  * `(⌊lat/cellLatDeg⌋, ⌊lon/cellLonDeg⌋)`; the LEFT side replicates to its
+  * 3×3 cell neighborhood (a fixed 9× fan-out — replicate the smaller
+  * side), the right side keeps one row per point, and an EQUI-join on the
+  * cell key clusters candidates — Catalyst plans a plain shuffled hash /
+  * sort-merge join, never a cross product (Explain-gated). The exact
+  * haversine then filters candidates; a pair survives in EXACTLY one cell
+  * (the right point's own), so no post-dedup is needed.
+  *
+  * CONTRACT: every cell must cover `distM` metres at all data latitudes —
+  * `cellLatDeg·111 320 ≥ distM` (validated) and
+  * `cellLonDeg·111 320·cos(max |lat|) ≥ distM` (caller-asserted; lon
+  * shrink depends on the data). Bigger cells stay correct but widen the
+  * candidate set.
+  *
+  * 100-TB shape: the ONLY shuffle is the cell-keyed join (both exchanges
+  * carry one row per point — 9 for the replicated side); candidate volume
+  * per task is bounded by cell occupancy, and `maxCell` is the skew valve:
+  * cells holding more right-side points than the cap are dropped LOUDLY
+  * (CapAudit observe metric — an urban-core hot cell means the cell size,
+  * not the cluster, is wrong). */
+object SpatialJoin {
+
+  /** All (id_a, id_b, dist_m) pairs with `dist_m ≤ distM`, id_a from
+    * `left`, id_b from `right`. Column names are read off each side via
+    * (`idCol`, `latCol`, `lonCol`). */
+  def withinDistance(
+      left: DataFrame,
+      right: DataFrame,
+      distM: Double,
+      cellLatDeg: Double,
+      cellLonDeg: Double,
+      idCol: String = "event_id",
+      latCol: String = "lat",
+      lonCol: String = "lon",
+      maxCell: Int = Int.MaxValue
+  ): DataFrame = {
+    require(distM > 0.0, s"distM must be positive, got $distM")
+    require(cellLatDeg > 0.0 && cellLonDeg > 0.0, "cell sizes must be positive")
+    require(cellLatDeg * 111320.0 >= distM,
+      f"lat cell ${cellLatDeg}%.6f° covers ${cellLatDeg * 111320.0}%.1f m < distM $distM%.1f m")
+    require(maxCell >= 1, "maxCell must be >= 1")
+    val l = left.select(
+        col(idCol).as("id_a"),
+        col(latCol).cast("double").as("_lat_a"),
+        col(lonCol).cast("double").as("_lon_a"),
+        floor(col(latCol) / cellLatDeg).cast("long").as("_cx0"),
+        floor(col(lonCol) / cellLonDeg).cast("long").as("_cy0"))
+      .select(col("*"), explode(array(lit(-1L), lit(0L), lit(1L))).as("_dx"))
+      .select(col("*"), explode(array(lit(-1L), lit(0L), lit(1L))).as("_dy"))
+      .select(col("id_a"), col("_lat_a"), col("_lon_a"),
+        (col("_cx0") + col("_dx")).as("_cx"), (col("_cy0") + col("_dy")).as("_cy"))
+    val r0 = right.select(
+      col(idCol).as("id_b"),
+      col(latCol).cast("double").as("_lat_b"),
+      col(lonCol).cast("double").as("_lon_b"),
+      floor(col(latCol) / cellLatDeg).cast("long").as("_cx"),
+      floor(col(lonCol) / cellLonDeg).cast("long").as("_cy"))
+    val r =
+      if (maxCell == Int.MaxValue) r0
+      else {
+        // occupancy count on the SAME cell clustering the join shuffles on
+        val counted = r0.withColumn("_sz",
+          count(lit(1)).over(Window.partitionBy(col("_cx"), col("_cy"))))
+        CapAudit
+          .observeDrops(counted, when(col("_sz") > maxCell, 1L).otherwise(0L),
+            "spatial_cell_valve", "SpatialJoin cell occupancy (shrink cells or raise maxCell)")
+          .where(col("_sz") <= maxCell).drop("_sz")
+      }
+    val d = Geo.haversine(col("_lat_a"), col("_lon_a"), col("_lat_b"), col("_lon_b"))
+    l.join(r, Seq("_cx", "_cy"))
+      .where(d <= distM)
+      .select(col("id_a"), col("id_b"), d.as("dist_m"))
+  }
+
+  /** Self-join form: unordered point pairs (`id_a < id_b`) of one table
+    * within `distM` metres. */
+  def selfWithinDistance(
+      df: DataFrame,
+      distM: Double,
+      cellLatDeg: Double,
+      cellLonDeg: Double,
+      idCol: String = "event_id",
+      latCol: String = "lat",
+      lonCol: String = "lon",
+      maxCell: Int = Int.MaxValue
+  ): DataFrame =
+    withinDistance(df, df, distM, cellLatDeg, cellLonDeg, idCol, latCol, lonCol, maxCell)
+      .where(col("id_a") < col("id_b"))
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.kernels.{Geo, SpatialJoin}
+import org.apache.spark.sql.functions._
+
+/** Grid-banded proximity join vs an exhaustive brute-force reference. */
+class SpatialJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // deterministic scatter around 39°N 116°E, ~±600 m, includes exact
+  // duplicates and points straddling cell boundaries
+  private def pts = (1 to 60).map { i =>
+    val lat = 39.0 + ((i * 37) % 41 - 20) * 0.00025
+    val lon = 116.0 + ((i * 53) % 43 - 21) * 0.00030
+    (i.toLong, lat, lon)
+  }.toDF("event_id", "lat", "lon")
+
+  private def havM(a: (Double, Double), b: (Double, Double)): Double = {
+    val r = math.Pi / 180.0
+    val sdLat = math.sin((b._1 - a._1) * r / 2); val sdLon = math.sin((b._2 - a._2) * r / 2)
+    val h = sdLat * sdLat + math.cos(a._1 * r) * math.cos(b._1 * r) * sdLon * sdLon
+    2.0 * math.atan2(math.sqrt(h), math.sqrt(1.0 - h)) * 6371000.0
+  }
+
+  test("selfWithinDistance equals brute force, each pair exactly once") {
+    val d = 120.0
+    val got = SpatialJoin.selfWithinDistance(pts, d, cellLatDeg = 0.0012, cellLonDeg = 0.0016)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size, "a pair must appear exactly once")
+    val raw = pts.as[(Long, Double, Double)].collect()
+    val want = (for {
+      a <- raw; b <- raw if a._1 < b._1
+      if havM((a._2, a._3), (b._2, b._3)) <= d
+    } yield (a._1, b._1)).toSet
+    assert(want.nonEmpty, "fixture must produce pairs")
+    assert(got.toSet == want, s"missing ${want -- got.toSet}, extra ${got.toSet -- want}")
+  }
+
+  test("withinDistance two-table form and reported distance") {
+    val a = Seq((1L, 39.0, 116.0)).toDF("event_id", "lat", "lon")
+    val b = Seq((10L, 39.0, 116.0005), (11L, 39.5, 116.5)).toDF("event_id", "lat", "lon")
+    val out = SpatialJoin.withinDistance(a, b, 100.0, 0.001, 0.0015).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 10L)
+    val want = havM((39.0, 116.0), (39.0, 116.0005))
+    assertClose(Some(out(0).getDouble(2)), Some(want))
+  }
+
+  test("maxCell valve drops hot cells loudly, keeps the rest") {
+    // 30 points piled in ONE cell + 2 isolated close points elsewhere
+    val hot = (1 to 30).map(i => (i.toLong, 39.00001 + i * 1e-7, 116.00001))
+    val cool = Seq((100L, 39.2000, 116.2000), (101L, 39.2001, 116.2000))
+    val df = (hot ++ cool).toDF("event_id", "lat", "lon")
+    val out = SpatialJoin.selfWithinDistance(df, 50.0, 0.001, 0.0015, maxCell = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((100L, 101L)), s"hot cell must be dropped, got $out")
+    // valve off: the hot pile contributes its full pair set
+    val all = SpatialJoin.selfWithinDistance(df, 50.0, 0.001, 0.0015).count()
+    assert(all == 30L * 29L / 2L + 1L)
+  }
+
+  test("cell-size contract is validated") {
+    intercept[IllegalArgumentException] {
+      SpatialJoin.selfWithinDistance(pts, distM = 500.0, cellLatDeg = 0.001, cellLonDeg = 0.0015)
+    }
+  }
+
+  test("plans an equi hash/merge join on the cell key — no nested loop, no cartesian") {
+    val plan = SpatialJoin.selfWithinDistance(pts, 100.0, 0.001, 0.0015)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"banded join must stay an equi-join:\n$plan")
+    assert(plan.contains("Join"), "join present")
+  }
+}
