@@ -356,6 +356,15 @@ object Explain {
         capPlan.indexOf("WindowGroupLimit", ex) > ex
     })
 
+    // --- table profile (approx mode — the production default): ONE
+    // map-side-combined pass, no Expand replication, one-row shuffle ---
+    val prof = graft.stats.Profile.profile(t, Seq("traj_id", "event_id", "lat", "lon"))
+    val profPlan = prof.queryExecution.executedPlan.toString
+    println("=== profile (single-pass HLL, no Expand) ===")
+    check("profile: no Expand in approx mode")(!profPlan.contains("Expand"))
+    check("profile: map-side partial aggregation")(profPlan.contains("partial_count"))
+    check("profile: one exchange")("Exchange".r.findAllIn(profPlan).length == 1)
+
     // --- spatial proximity join: the 3×3 grid banding must reach the
     // planner as an EQUI-join on the cell key — the one shape that scales;
     // a cartesian / nested-loop here is the 2-D O(n²) trap ---

@@ -568,6 +568,13 @@ object SparkEntry {
       Rolling.withRollingTime(traj(sp, dir), S, "lat", 1800.0)
         .select(col("traj_id"), col("event_id"), col("troll_n"), col("troll_min"),
           col("troll_max"), col("troll_mean"), col("troll_sum"))),
+    // per-column data-quality profile over the sparse traj fixture (exact
+    // mode — the oracle-checkable path; production default is one-pass HLL)
+    "q_profile" -> ((sp, dir) =>
+      graft.stats.Profile.profile(
+          sparseTraj(sp, dir), Seq("traj_id", "ts", "event_id", "lat", "lon"), exact = true)
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          r(col("null_frac"), 6).as("null_frac"), col("n_distinct"))),
     // grid-banded proximity self-join: all point pairs within 100 m —
     // 0.001° lat cells (111 m) × 0.0015° lon cells (129 m at 39.5°N), the
     // 3×3 neighborhood equi-join, exact haversine re-check. Points are a
@@ -1085,6 +1092,23 @@ object SparkEntry {
            |FROM traj
            |WINDOW w AS (PARTITION BY traj_id ORDER BY epoch_us(ts)
            |             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+      "q_profile" -> {
+        val sparse =
+          s"""$TrajSql, sparse AS (
+             |  SELECT traj_id, ts, event_id,
+             |    CASE WHEN event_id % 7 < 3 THEN NULL ELSE lat END AS lat,
+             |    CASE WHEN event_id % 5 < 2 THEN NULL ELSE lon END AS lon
+             |  FROM traj
+             |)""".stripMargin
+        val per = Seq("traj_id", "ts", "event_id", "lat", "lon").map { c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  count(*) - count($c) AS n_null,
+             |  round((count(*) - count($c))::DOUBLE / count(*)::DOUBLE, 6) + 0.0 AS null_frac,
+             |  count(DISTINCT $c) AS n_distinct
+             |FROM sparse""".stripMargin
+        }
+        sparse + "\n" + per.mkString("\nUNION ALL\n")
+      },
       "q_spatial_pairs" -> {
         val Pm = 2147483647L
         def hs(x: String, p: Int): String = {
