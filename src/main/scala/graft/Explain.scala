@@ -356,6 +356,18 @@ object Explain {
         capPlan.indexOf("WindowGroupLimit", ex) > ex
     })
 
+    // --- mobility descriptors: two aggregates + a tiny per-entity join;
+    // the entropy normalizer window must consume the (entity, cell)
+    // AGGREGATE (tiny), never the point grid ---
+    val mob = graft.features.Mobility.withMobility(t, SparkEntry.S)
+    val mobPlan = mob.queryExecution.executedPlan.toString
+    println("=== mobility (2 aggs + tiny join, cell-level normalizer) ===")
+    check("mobility: no cartesian / nested loop")(
+      !mobPlan.contains("CartesianProduct") && !mobPlan.contains("BroadcastNestedLoop"))
+    check("mobility: exactly two windows (point centroid + cell normalizer)")(
+      "\\bWindow \\[".r.findAllIn(mobPlan).length == 2)
+    check("mobility: map-side partial aggregation")(mobPlan.contains("partial_count"))
+
     // --- table profile (approx mode — the production default): ONE
     // map-side-combined pass, no Expand replication, one-row shuffle ---
     val prof = graft.stats.Profile.profile(t, Seq("traj_id", "event_id", "lat", "lon"))

@@ -568,6 +568,12 @@ object SparkEntry {
       Rolling.withRollingTime(traj(sp, dir), S, "lat", 1800.0)
         .select(col("traj_id"), col("event_id"), col("troll_n"), col("troll_min"),
           col("troll_max"), col("troll_mean"), col("troll_sum"))),
+    // per-entity mobility summary: radius of gyration, visit entropy over
+    // 0.01° cells, cell coverage (González et al. mobility descriptors)
+    "q_mobility" -> ((sp, dir) =>
+      graft.features.Mobility.withMobility(traj(sp, dir), S, cellDeg = 0.01)
+        .select(col("traj_id"), col("n_points"), r(col("rg_m"), 3).as("rg_m"),
+          r(col("entropy_nats"), 6).as("entropy_nats"), col("n_cells"))),
     // per-column data-quality profile over the sparse traj fixture (exact
     // mode — the oracle-checkable path; production default is one-pass HLL)
     "q_profile" -> ((sp, dir) =>
@@ -1092,6 +1098,34 @@ object SparkEntry {
            |FROM traj
            |WINDOW w AS (PARTITION BY traj_id ORDER BY epoch_us(ts)
            |             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+      "q_mobility" -> {
+        val dd = havSql("lat", "lon", "clat", "clon")
+        s"""$TrajSql, cent AS (
+           |  SELECT traj_id, lat, lon,
+           |    avg(lat) OVER (PARTITION BY traj_id) AS clat,
+           |    avg(lon) OVER (PARTITION BY traj_id) AS clon
+           |  FROM traj
+           |), rg AS (
+           |  SELECT traj_id, count(*) AS n_points,
+           |    sqrt(avg(($dd) * ($dd))) AS rg_m
+           |  FROM cent GROUP BY traj_id
+           |), cells AS (
+           |  SELECT traj_id,
+           |    CAST(floor(lat / 0.01) AS BIGINT) AS cx,
+           |    CAST(floor(lon / 0.01) AS BIGINT) AS cy,
+           |    count(*) AS nc
+           |  FROM traj GROUP BY 1, 2, 3
+           |), ent AS (
+           |  SELECT traj_id,
+           |    -sum((nc::DOUBLE / tot::DOUBLE) * ln(nc::DOUBLE / tot::DOUBLE)) AS entropy_nats,
+           |    count(*) AS n_cells
+           |  FROM (SELECT traj_id, nc, sum(nc) OVER (PARTITION BY traj_id) AS tot FROM cells)
+           |  GROUP BY traj_id
+           |)
+           |SELECT rg.traj_id, n_points, round(rg_m, 3) + 0.0 AS rg_m,
+           |  round(entropy_nats, 6) + 0.0 AS entropy_nats, n_cells
+           |FROM rg JOIN ent ON rg.traj_id = ent.traj_id""".stripMargin
+      },
       "q_profile" -> {
         val sparse =
           s"""$TrajSql, sparse AS (

@@ -77,6 +77,48 @@ object Ewma {
         ord.as("ord"),
         col(valueCol).cast("double").as("v"))
       .as(Encoders.product[EwmaRow])
+    run(rows, beta = 1.0 - alpha, kappa = kappa, halfLifeSec = 0.0)
+  }
+
+  /** Time-decay sibling of [[withEwma]] — pandas
+    * `ewm(halflife=..., times=...)`: the weight of an observation decays
+    * with ELAPSED TIME, not row count — `d_i = 0.5^(Δt_i / halfLife)`
+    * replaces the constant β in the same `num/den` recurrence (irregular
+    * sampling stops biasing the smooth toward burst periods). CUSUM is
+    * unchanged (drift vs the previous smoothed value). Same secondary-sort
+    * O(1)-state kernel. ScalaTest-verified against the explicit weight-sum
+    * definition; not driver-oracled — `pow` is only ~1-ulp portable across
+    * engines (BENCH.md rounding-policy law), unlike the exact-β form. */
+  def withEwmaTime(
+      df: DataFrame,
+      s: TrajSchema,
+      valueCol: String,
+      halfLifeSec: Double,
+      kappa: Double = 0.0
+  ): DataFrame = {
+    require(halfLifeSec > 0.0, s"halfLifeSec must be positive, got $halfLifeSec")
+    require(kappa >= 0.0, s"kappa (CUSUM slack) must be >= 0, got $kappa")
+    val ord = s.orderCols.headOption.map(c => col(c).cast("long")).getOrElse(lit(0L))
+    val rows = df
+      .where(s.tsCol.isNotNull)
+      .select(
+        s.idCol.cast("string").as("traj_id"),
+        Times.micros(s.tsCol).as("ts_us"),
+        ord.as("ord"),
+        col(valueCol).cast("double").as("v"))
+      .as(Encoders.product[EwmaRow])
+    run(rows, beta = 0.0, kappa = kappa, halfLifeSec = halfLifeSec)
+  }
+
+  /** Shared kernel: `halfLifeSec > 0` selects time decay (β ignored);
+    * otherwise the constant-β recurrence. The decay step reads the ts of
+    * the PREVIOUS NON-NULL observation (null slots carry no weight and do
+    * not age the state clock — consistent with "state untouched"). */
+  private def run(
+      rows: org.apache.spark.sql.Dataset[EwmaRow],
+      beta: Double,
+      kappa: Double,
+      halfLifeSec: Double): DataFrame = {
     val out = rows
       .repartition(col("traj_id"))
       .sortWithinPartitions(col("traj_id"), col("ts_us"), col("ord"))
@@ -84,13 +126,14 @@ object Ewma {
         // O(1) state per task: entity boundary detected on the sorted run
         var curId: String = null
         var seen = false
-        var num = 0.0; var den = 0.0; var prevEwm = 0.0
+        var num = 0.0; var den = 0.0; var prevEwm = 0.0; var prevTs = 0L
         var cp = 0.0; var cn = 0.0
         it.map { r =>
           if (r.traj_id != curId) { curId = r.traj_id; seen = false }
           r.v match {
             case Some(x) if !seen =>
-              seen = true; num = x; den = 1.0; prevEwm = x; cp = 0.0; cn = 0.0
+              seen = true; num = x; den = 1.0; prevEwm = x; prevTs = r.ts_us
+              cp = 0.0; cn = 0.0
               EwmaOut(r.traj_id, r.ts_us, r.ord, r.v, Some(x), Some(0.0), Some(0.0))
             case Some(x) =>
               // CUSUM reads the PREVIOUS smoothed value (drift vs history),
@@ -98,10 +141,14 @@ object Ewma {
               // oracle CTE mirrors term-for-term
               cp = math.max(0.0, cp + (x - prevEwm - kappa))
               cn = math.min(0.0, cn + (x - prevEwm + kappa))
-              num = x + beta * num
-              den = 1.0 + beta * den
+              val step =
+                if (halfLifeSec > 0.0)
+                  math.pow(0.5, (r.ts_us - prevTs).toDouble / 1e6 / halfLifeSec)
+                else beta
+              num = x + step * num
+              den = 1.0 + step * den
               val y = num / den
-              prevEwm = y
+              prevEwm = y; prevTs = r.ts_us
               EwmaOut(r.traj_id, r.ts_us, r.ord, r.v, Some(y), Some(cp), Some(cn))
             case None =>
               EwmaOut(r.traj_id, r.ts_us, r.ord, None, None, None, None)
