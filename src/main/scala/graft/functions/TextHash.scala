@@ -114,6 +114,13 @@ object TextHash {
   def repetitionMetrics(tokenHashes: Column): Column =
     kcol(RepetitionExpr(kexp(tokenHashes)))
 
+  /** Greedy left-to-right merge of adjacent pair (a, b) → m over a token
+    * array — the rewrite half of one BPE iteration
+    * ([[graft.text.TokenStats.pairCounts]] is the scoring half); codegen'd
+    * single-pass kernel ([[ApplyMergeExpr]]). */
+  def applyMerge(tokenHashes: Column, a: Long, b: Long, m: Long): Column =
+    kcol(ApplyMergeExpr(kexp(tokenHashes), a, b, m))
+
   /** 62-bit SimHash from token hashes: two independent 31-bit poly-affine
     * hashes per token give bits 0..61; bit b of the fingerprint is 1 iff
     * Σ_tokens (2·bit_b(h_tok) − 1) > 0. Returned as BIGINT. */

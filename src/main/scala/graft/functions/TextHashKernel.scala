@@ -137,6 +137,26 @@ object TextHashKernel {
     new GenericArrayData(Array(dup2, dup3, top2))
   }
 
+  /** Greedy left-to-right BPE merge: every non-overlapping adjacent
+    * occurrence of (a, b) becomes m — the rewrite step of one BPE
+    * iteration (Sennrich et al.; the reference implementations' re.sub
+    * scan is exactly this left-to-right greedy law: [a,a,a] with pair
+    * (a,a) → [m,a]). One primitive pass, output length ≤ input. */
+  def applyMerge(th: ArrayData, a: Long, b: Long, m: Long): ArrayData = {
+    val n = th.numElements()
+    val buf = new Array[Long](n)
+    var i = 0
+    var o = 0
+    while (i < n) {
+      if (i + 1 < n && th.getLong(i) == a && th.getLong(i + 1) == b) {
+        buf(o) = m; o += 1; i += 2
+      } else {
+        buf(o) = th.getLong(i); o += 1; i += 1
+      }
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(buf, o))
+  }
+
   /** 62-bit SimHash from token hashes (majority sign per bit of the widened
     * 62-bit hash h = h1·2³¹ + affine(h1)). */
   def simhash(th: ArrayData, bits: Int): Long = {
@@ -207,6 +227,14 @@ case class RepetitionExpr(child: Expression) extends TextKernelUnary {
   override protected def nullSafeEval(a: Any): Any =
     TextHashKernel.repetition(a.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression): RepetitionExpr = copy(child = c)
+}
+
+case class ApplyMergeExpr(child: Expression, a: Long, b: Long, m: Long) extends TextKernelUnary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def call: String = s"applyMerge($$c, ${a}L, ${b}L, ${m}L)"
+  override protected def nullSafeEval(arr: Any): Any =
+    TextHashKernel.applyMerge(arr.asInstanceOf[ArrayData], a, b, m)
+  override protected def withNewChildInternal(c: Expression): ApplyMergeExpr = copy(child = c)
 }
 
 case class SimHashExpr(child: Expression, bits: Int) extends TextKernelUnary {

@@ -42,4 +42,24 @@ object TokenStats {
       counts.orderBy(col("n").desc, col("tok_a").asc, col("tok_b").asc).limit(topK)
     else counts
   }
+
+  /** One full BPE merge iteration: score all adjacent pairs, elect the
+    * most frequent (ties on (tok_a, tok_b) — deterministic), rewrite every
+    * sequence with the greedy left-to-right merge
+    * ([[graft.functions.TextHash.applyMerge]] codegen kernel). Returns the
+    * rewritten frame plus the elected (a, b, count). Tokenizer training
+    * loops this; the driver collects exactly ONE row per iteration (the
+    * argmax), never token data. */
+  def mergeIteration(
+      df: DataFrame,
+      newId: Long,
+      tokensCol: String = "tokens"
+  ): (DataFrame, (Long, Long, Long)) = {
+    val top = pairCounts(df, tokensCol, topK = 1).collect()
+    require(top.nonEmpty, "no adjacent pairs to merge — every sequence is shorter than 2")
+    val (a, b, n) = (top(0).getLong(0), top(0).getLong(1), top(0).getLong(2))
+    val merged = df.withColumn(tokensCol,
+      graft.functions.TextHash.applyMerge(col(tokensCol), a, b, newId))
+    (merged, (a, b, n))
+  }
 }

@@ -44,6 +44,31 @@ class TransitionPairSpec extends SparkSpec {
     assert(top1.length == 1 && top1(0).getLong(0) == 10L && top1(0).getLong(1) == 20L)
   }
 
+  test("applyMerge: greedy left-to-right law, ends, runs, identity") {
+    val docs = Seq(
+      (1L, Seq(1L, 1L, 1L)),          // run of the merged pair → [9, 1]
+      (2L, Seq(1L, 2L, 1L, 2L)),      // back-to-back pairs → [9, 9] with (1,2)
+      (3L, Seq(2L, 1L)),              // reversed — untouched
+      (4L, Seq(1L)), (5L, Seq.empty[Long])
+    ).toDF("doc_id", "tokens")
+    def merged(a: Long, b: Long) = docs
+      .select(col("doc_id"), graft.functions.TextHash.applyMerge(col("tokens"), a, b, 9L).as("t"))
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect().map(_._2).toSeq
+    assert(merged(1L, 1L) == Seq(Seq(9L, 1L), Seq(1L, 2L, 1L, 2L), Seq(2L, 1L), Seq(1L), Seq()))
+    assert(merged(1L, 2L) == Seq(Seq(1L, 1L, 1L), Seq(9L, 9L), Seq(2L, 1L), Seq(1L), Seq()))
+  }
+
+  test("mergeIteration elects the argmax pair and rewrites the corpus") {
+    val docs = Seq(
+      (1L, Seq(5L, 6L, 5L, 6L, 7L)),
+      (2L, Seq(5L, 6L, 7L))
+    ).toDF("doc_id", "tokens")
+    val (out, (a, b, n)) = graft.text.TokenStats.mergeIteration(docs, newId = 100L)
+    assert((a, b, n) == ((5L, 6L, 3L)), s"got ($a, $b, $n)")
+    val rows = out.orderBy("doc_id").as[(Long, Seq[Long])].collect().map(_._2).toSeq
+    assert(rows == Seq(Seq(100L, 100L, 7L), Seq(100L, 7L)))
+  }
+
   test("pairCounts plans one map-side-combined aggregate and TakeOrdered, no global sort") {
     val docs = (1 to 50).map(i => (i.toLong, Seq.fill(5)((i % 7).toLong))).toDF("doc_id", "tokens")
     val plan = TokenStats.pairCounts(docs, topK = 10).queryExecution.executedPlan.toString
