@@ -1205,7 +1205,12 @@ object SparkEntry {
            |  END AS zroll_z
            |FROM wsum""".stripMargin,
       // the exact EWM/CUSUM recurrence replayed as a recursive CTE — one
-      // step per per-entity row rank, term-for-term the kernel's op order
+      // step per per-entity row rank, term-for-term the kernel's op order.
+      // CAVEAT: this CTE assumes a NULL-FREE channel (the traj fixture
+      // guarantees it) — a null v would poison the recursion (NULL
+      // propagates through num/den/greatest) where the kernel's law is
+      // "emit nulls, state untouched"; the null law is spec-verified
+      // (EwmaCapSpec), not oracled
       "q_ewma" ->
         s"""${TrajSql.replaceFirst("WITH traj", "WITH RECURSIVE traj")}, base AS (
            |  SELECT traj_id, event_id, lat AS v,

@@ -67,17 +67,7 @@ object Ewma {
   ): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     require(kappa >= 0.0, s"kappa (CUSUM slack) must be >= 0, got $kappa")
-    val beta = 1.0 - alpha
-    val ord = s.orderCols.headOption.map(c => col(c).cast("long")).getOrElse(lit(0L))
-    val rows = df
-      .where(s.tsCol.isNotNull)
-      .select(
-        s.idCol.cast("string").as("traj_id"),
-        Times.micros(s.tsCol).as("ts_us"),
-        ord.as("ord"),
-        col(valueCol).cast("double").as("v"))
-      .as(Encoders.product[EwmaRow])
-    run(rows, beta = 1.0 - alpha, kappa = kappa, halfLifeSec = 0.0)
+    run(prepare(df, s, valueCol), beta = 1.0 - alpha, kappa = kappa, halfLifeSec = 0.0)
   }
 
   /** Time-decay sibling of [[withEwma]] — pandas
@@ -98,16 +88,21 @@ object Ewma {
   ): DataFrame = {
     require(halfLifeSec > 0.0, s"halfLifeSec must be positive, got $halfLifeSec")
     require(kappa >= 0.0, s"kappa (CUSUM slack) must be >= 0, got $kappa")
+    run(prepare(df, s, valueCol), beta = 0.0, kappa = kappa, halfLifeSec = halfLifeSec)
+  }
+
+  /** Shared input projection: (entity, instant, tie-break, value) through
+    * the typed encoder; null-ts rows dropped (no position on the time
+    * axis — the kinematic chain's mandatory-column law). */
+  private def prepare(df: DataFrame, s: TrajSchema, valueCol: String) = {
     val ord = s.orderCols.headOption.map(c => col(c).cast("long")).getOrElse(lit(0L))
-    val rows = df
-      .where(s.tsCol.isNotNull)
+    df.where(s.tsCol.isNotNull)
       .select(
         s.idCol.cast("string").as("traj_id"),
         Times.micros(s.tsCol).as("ts_us"),
         ord.as("ord"),
         col(valueCol).cast("double").as("v"))
       .as(Encoders.product[EwmaRow])
-    run(rows, beta = 0.0, kappa = kappa, halfLifeSec = halfLifeSec)
   }
 
   /** Shared kernel: `halfLifeSec > 0` selects time decay (β ignored);

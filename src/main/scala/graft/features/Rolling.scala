@@ -53,19 +53,6 @@ object Rolling {
       .drop("_roll_first_m")
   }
 
-  /** Time-based sibling of [[withRolling]]: aggregates over the trailing
-    * `windowSec` seconds (inclusive of the current row's instant) — the
-    * pandas `rolling("5min")` shape. Adds `troll_n`, `troll_min`,
-    * `troll_max`, `troll_mean`, `troll_sum`.
-    *
-    * Laws: the frame is a RANGE frame over epoch micros, so rows sharing a
-    * timestamp are frame PEERS — every peer sees the identical frame and
-    * the output is deterministic without a tie-break column (a row-bounded
-    * frame can't promise that). Zero temporal leakage by the frame bound.
-    *
-    * Scale shape: same single exchange + sort as [[withRolling]]; the
-    * frame is value-bounded so per-row state is the rows inside the span
-    * (bounded by data rate × windowSec), never the whole partition. */
   /** Rolling z-score anomaly channel over the trailing `k` rows: adds
     * `zroll_n`, `zroll_mean`, `zroll_std` (sample std) and `zroll_z` — how
     * many trailing-window standard deviations the CURRENT value sits from
@@ -102,6 +89,19 @@ object Rolling {
       .drop("_z_s1", "_z_s2")
   }
 
+  /** Time-based sibling of [[withRolling]]: aggregates over the trailing
+    * `windowSec` seconds (inclusive of the current row's instant) — the
+    * pandas `rolling("5min")` shape. Adds `troll_n`, `troll_min`,
+    * `troll_max`, `troll_mean`, `troll_sum`.
+    *
+    * Laws: the frame is a RANGE frame over epoch micros, so rows sharing a
+    * timestamp are frame PEERS — every peer sees the identical frame and
+    * the output is deterministic without a tie-break column (a row-bounded
+    * frame can't promise that). Zero temporal leakage by the frame bound.
+    *
+    * Scale shape: same single exchange + sort as [[withRolling]]; the
+    * frame is value-bounded so per-row state is the rows inside the span
+    * (bounded by data rate × windowSec), never the whole partition. */
   def withRollingTime(df: DataFrame, s: TrajSchema, valueCol: String, windowSec: Double): DataFrame = {
     require(windowSec > 0, s"rolling time window must be positive, got $windowSec")
     val m = Times.micros(s.tsCol)

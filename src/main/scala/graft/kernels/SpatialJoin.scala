@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   * haversine then filters candidates; a pair survives in EXACTLY one cell
   * (the right point's own), so no post-dedup is needed.
   *
-  * CONTRACT: every cell must cover `distM` metres at all data latitudes —
-  * `cellLatDeg·111 320 ≥ distM` (validated) and
-  * `cellLonDeg·111 320·cos(max |lat|) ≥ distM` (caller-asserted; lon
+  * CONTRACT: every cell must cover `distM` metres at all data latitudes
+  * under the engine's OWN spherical model ([[MetersPerDegLat]] ≈ 111 195
+  * m/deg) — `cellLatDeg·111 195 ≥ distM` (validated) and
+  * `cellLonDeg·111 195·cos(max |lat|) ≥ distM` (caller-asserted; lon
   * shrink depends on the data). Bigger cells stay correct but widen the
   * candidate set.
   *
@@ -36,9 +37,19 @@ import org.apache.spark.sql.functions._
   * not the cluster, is wrong). */
 object SpatialJoin {
 
+  /** Metres per degree of latitude under the engine's own spherical earth
+    * (π/180 · [[Geo.EarthRadiusMeters]] ≈ 111 194.93 — NOT the WGS84
+    * 111 320: the coverage contract must be judged by the same model the
+    * haversine re-check uses, or the 3×3 neighborhood can miss genuinely
+    * in-range pairs by the model gap). */
+  val MetersPerDegLat: Double = math.Pi / 180.0 * Geo.EarthRadiusMeters
+
   /** All (id_a, id_b, dist_m) pairs with `dist_m ≤ distM`, id_a from
     * `left`, id_b from `right`. Column names are read off each side via
-    * (`idCol`, `latCol`, `lonCol`). */
+    * (`idCol`, `latCol`, `lonCol`). `maxCell` here drops overfull
+    * RIGHT-side cells (deterministic for two distinct tables; the
+    * self-join applies its valve symmetrically BEFORE pairing — see
+    * [[selfWithinDistance]]). */
   def withinDistance(
       left: DataFrame,
       right: DataFrame,
@@ -52,8 +63,8 @@ object SpatialJoin {
   ): DataFrame = {
     require(distM > 0.0, s"distM must be positive, got $distM")
     require(cellLatDeg > 0.0 && cellLonDeg > 0.0, "cell sizes must be positive")
-    require(cellLatDeg * 111320.0 >= distM,
-      f"lat cell ${cellLatDeg}%.6f° covers ${cellLatDeg * 111320.0}%.1f m < distM $distM%.1f m")
+    require(cellLatDeg * MetersPerDegLat >= distM,
+      f"lat cell ${cellLatDeg}%.6f° covers ${cellLatDeg * MetersPerDegLat}%.1f m < distM $distM%.1f m")
     require(maxCell >= 1, "maxCell must be >= 1")
     val l = left.select(
         col(idCol).as("id_a"),
@@ -89,7 +100,13 @@ object SpatialJoin {
   }
 
   /** Self-join form: unordered point pairs (`id_a < id_b`) of one table
-    * within `distM` metres. */
+    * within `distM` metres.
+    *
+    * The valve is applied SYMMETRICALLY before pairing: a point whose own
+    * cell holds more than `maxCell` points pairs with NOTHING. (Valving
+    * only one join side of a self-join would keep or lose a pair that
+    * straddles a hot-cell boundary depending on which point carries the
+    * smaller id — deterministic input→output, but arbitrary semantics.) */
   def selfWithinDistance(
       df: DataFrame,
       distM: Double,
@@ -99,7 +116,21 @@ object SpatialJoin {
       latCol: String = "lat",
       lonCol: String = "lon",
       maxCell: Int = Int.MaxValue
-  ): DataFrame =
-    withinDistance(df, df, distM, cellLatDeg, cellLonDeg, idCol, latCol, lonCol, maxCell)
+  ): DataFrame = {
+    val base =
+      if (maxCell == Int.MaxValue) df
+      else {
+        require(maxCell >= 1, "maxCell must be >= 1")
+        val counted = df.withColumn("_sz",
+          count(lit(1)).over(Window.partitionBy(
+            floor(col(latCol) / cellLatDeg).cast("long"),
+            floor(col(lonCol) / cellLonDeg).cast("long"))))
+        CapAudit
+          .observeDrops(counted, when(col("_sz") > maxCell, 1L).otherwise(0L),
+            "spatial_cell_valve", "SpatialJoin cell occupancy (shrink cells or raise maxCell)")
+          .where(col("_sz") <= maxCell).drop("_sz")
+      }
+    withinDistance(base, base, distM, cellLatDeg, cellLonDeg, idCol, latCol, lonCol)
       .where(col("id_a") < col("id_b"))
+  }
 }

@@ -33,6 +33,12 @@ object Json {
       prefix: String = ""
   ): DataFrame = {
     require(fields.nonEmpty, "extract needs at least one field")
+    // fail at the call site, not with a downstream AMBIGUOUS_REFERENCE
+    val clash = fields.map(prefix + _._1).filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"extract output would shadow existing column(s): ${clash.mkString(", ")} — change `prefix`")
+    val dupOut = fields.map(prefix + _._1).diff(fields.map(prefix + _._1).distinct)
+    require(dupOut.isEmpty, s"duplicate output column(s): ${dupOut.distinct.mkString(", ")}")
     val schema = StructType(fields.map { case (n, t) => StructField(n, t, nullable = true) })
     val parsed: Column = from_json(col(jsonCol), schema)
     df.select(

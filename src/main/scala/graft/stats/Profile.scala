@@ -31,6 +31,11 @@ object Profile {
     require(cols.nonEmpty, "profile needs at least one column")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile columns not in the frame: ${missing.mkString(", ")}")
+    // names are spliced into a selectExpr stack() — reject the two
+    // characters that would corrupt the generated SQL, loudly
+    val unsafe = cols.filter(c => c.contains("'") || c.contains("`"))
+    require(unsafe.isEmpty,
+      s"profile cannot handle quote/backtick column names: ${unsafe.mkString(", ")}")
     val aggs = count(lit(1)).as("_n") +: cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"_nn_$c"),

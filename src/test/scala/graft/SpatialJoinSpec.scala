@@ -46,17 +46,24 @@ class SpatialJoinSpec extends SparkSpec {
     assertClose(Some(out(0).getDouble(2)), Some(want))
   }
 
-  test("maxCell valve drops hot cells loudly, keeps the rest") {
-    // 30 points piled in ONE cell + 2 isolated close points elsewhere
-    val hot = (1 to 30).map(i => (i.toLong, 39.00001 + i * 1e-7, 116.00001))
-    val cool = Seq((100L, 39.2000, 116.2000), (101L, 39.2001, 116.2000))
-    val df = (hot ++ cool).toDF("event_id", "lat", "lon")
+  test("maxCell valve is symmetric: a hot-cell point pairs with NOTHING, either id order") {
+    // 30 points piled in ONE cell; two boundary partners in the ADJACENT
+    // cell within 50 m of the pile — one with a smaller id than every pile
+    // point, one with a larger (the one-sided-valve trap kept or lost the
+    // straddling pair depending on which side carried the smaller id)
+    val hot = (1 to 30).map(i => (i.toLong, 39.00090 + i * 1e-8, 116.00001))
+    val nearLow = (0L, 39.00110, 116.00001)   // cell above, ~22 m from the pile
+    val nearHigh = (200L, 39.00112, 116.00001)
+    val far = Seq((100L, 39.2000, 116.2000), (101L, 39.2001, 116.2000))
+    val df = (hot ++ Seq(nearLow, nearHigh) ++ far).toDF("event_id", "lat", "lon")
     val out = SpatialJoin.selfWithinDistance(df, 50.0, 0.001, 0.0015, maxCell = 10)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(out == Set((100L, 101L)), s"hot cell must be dropped, got $out")
-    // valve off: the hot pile contributes its full pair set
-    val all = SpatialJoin.selfWithinDistance(df, 50.0, 0.001, 0.0015).count()
-    assert(all == 30L * 29L / 2L + 1L)
+    assert(out == Set((0L, 200L), (100L, 101L)),
+      s"hot-cell points must pair with nothing (both id orders), got $out")
+    // valve off: pile pairs + pile↔boundary pairs + the two isolated pairs
+    val all = SpatialJoin.selfWithinDistance(df, 50.0, 0.001, 0.0015)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(all.size == 30 * 29 / 2 + 2 * 30 + 2, s"got ${all.size}")
   }
 
   test("cell-size contract is validated") {
