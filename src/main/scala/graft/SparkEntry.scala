@@ -1238,7 +1238,7 @@ object SparkEntry {
       "q_resample" ->
         s"""$TrajSql, b AS (
            |  SELECT traj_id, ts, event_id, lat, lon,
-           |    epoch_us(ts) - epoch_us(ts) % 21600000000 AS binm
+           |    epoch_us(ts) - ((epoch_us(ts) % 21600000000) + 21600000000) % 21600000000 AS binm
            |  FROM traj
            |), rnk AS (
            |  SELECT *,
@@ -1256,7 +1256,7 @@ object SparkEntry {
            |FROM rnk GROUP BY traj_id, binm""".stripMargin,
       "q_src_json_props" ->
         """SELECT event_id, event_type,
-          |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+          |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
           |FROM events""".stripMargin
     )
   }

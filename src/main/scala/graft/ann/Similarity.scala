@@ -239,12 +239,16 @@ object Similarity {
   private def assignToCentroids(
       corpus: DataFrame, cents: DataFrame, corpusId: String, vec: String): DataFrame = {
     val v = transform(col(vec), x => x.cast("double"))
+    // group by the SCALAR id only — `corpusId` is unique per row, so keying
+    // the exchange on the full `array<double>` vector as well would hash +
+    // compare the whole embedding per row for nothing (real key-width cost
+    // at 10^9 vectors); the vector rides along via `first` instead
     corpus.select(col(corpusId), v.as("_v"))
       .crossJoin(broadcast(cents))
       .withColumn("_d", dot(col("_v"), col("_v")) - lit(2.0) * dot(col("_v"), col("centroid"))
         + dot(col("centroid"), col("centroid")))
-      .groupBy(col(corpusId), col("_v"))
-      .agg(min(struct(col("_d"), col("centroid_id"))).as("_nc"))
+      .groupBy(col(corpusId))
+      .agg(min(struct(col("_d"), col("centroid_id"))).as("_nc"), first(col("_v")).as("_v"))
       .select(col(corpusId), col("_v"), col("_nc.centroid_id").as("centroid_id"))
   }
 

@@ -150,9 +150,25 @@ object IntervalJoin {
         Seq(col("_i_start").as("interval_start"), col("_i_end").as("interval_end")) ++
         valueCols.map(c => col(s"_i_$c").as(c)): _*)
     val ord = struct(col("_i_start_mic") +: buildOrder.map(c => col(s"_i_$c")): _*)
+    // LOUD probe-key-uniqueness guard (module law: guards raise, never
+    // silently drop): the winner election emits ONE row per probeKey, so
+    // two DISTINCT probe rows sharing a key would silently collapse. The
+    // min/max of the full probe payload ride the same hash aggregate
+    // (partial-aggregable, no extra pass); min ≠ max ⇒ distinct rows
+    // shared the key ⇒ raise. Bit-identical duplicate rows remain
+    // undetectable — they would have produced identical output anyway.
+    val probePayload = struct(probeCols.map(col): _*)
     joined
       .groupBy(col(probeKey).as("_pk"))
-      .agg(max_by(payload, ord).as("_w"))
+      .agg(
+        max_by(payload, ord).as("_w"),
+        min(probePayload).as("_pmin"),
+        max(probePayload).as("_pmax"))
+      .select(
+        when(col("_pmin") =!= col("_pmax"), raise_error(concat(
+          lit("IntervalJoin.banded: probeKey "), col("_pk").cast("string"),
+          lit(s" is shared by distinct probe rows — banded() emits one row per '$probeKey'; pass a unique probe key"))))
+          .otherwise(col("_w")).as("_w"))
       .select(col("_w.*"))
   }
 }

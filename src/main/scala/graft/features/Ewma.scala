@@ -93,15 +93,32 @@ object Ewma {
 
   /** Shared input projection: (entity, instant, tie-break, value) through
     * the typed encoder; null-ts rows dropped (no position on the time
-    * axis — the kinematic chain's mandatory-column law). */
+    * axis — the kinematic chain's mandatory-column law).
+    *
+    * The exchange + secondary sort happen HERE, on the FULL
+    * (entity, ts, orderCols…) key — schemas with several orderCols keep
+    * their documented total order (the projection to the 4-field encoder
+    * afterwards is narrow, so the sorted run survives into the fold; the
+    * emitted `ord` column stays the head tie-break for output-schema
+    * stability). */
   private def prepare(df: DataFrame, s: TrajSchema, valueCol: String) = {
-    val ord = s.orderCols.headOption.map(c => col(c).cast("long")).getOrElse(lit(0L))
-    df.where(s.tsCol.isNotNull)
+    val ordProj = s.orderCols.zipWithIndex.map { case (c, i) => col(c).cast("long").as(s"_o$i") }
+    val base = df.where(s.tsCol.isNotNull)
       .select(
-        s.idCol.cast("string").as("traj_id"),
-        Times.micros(s.tsCol).as("ts_us"),
-        ord.as("ord"),
-        col(valueCol).cast("double").as("v"))
+        Seq(
+          s.idCol.cast("string").as("traj_id"),
+          Times.micros(s.tsCol).as("ts_us")) ++
+          ordProj :+
+          col(valueCol).cast("double").as("v"): _*)
+    val sortKey = Seq(col("traj_id"), col("ts_us")) ++
+      s.orderCols.indices.map(i => col(s"_o$i"))
+    base
+      .repartition(col("traj_id"))
+      .sortWithinPartitions(sortKey: _*)
+      .select(
+        col("traj_id"), col("ts_us"),
+        (if (s.orderCols.nonEmpty) col("_o0") else lit(0L)).as("ord"),
+        col("v"))
       .as(Encoders.product[EwmaRow])
   }
 
@@ -114,9 +131,9 @@ object Ewma {
       beta: Double,
       kappa: Double,
       halfLifeSec: Double): DataFrame = {
+    // rows arrive exchange-d + secondary-sorted from prepare() (full
+    // (entity, ts, orderCols…) key — see there)
     val out = rows
-      .repartition(col("traj_id"))
-      .sortWithinPartitions(col("traj_id"), col("ts_us"), col("ord"))
       .mapPartitions { it =>
         // O(1) state per task: entity boundary detected on the sorted run
         var curId: String = null
