@@ -105,9 +105,11 @@ object Bench {
 
     // --- flagship token-throughput (1 warmup + reps, median) ---
     // SPARK_GRAFT_PATHS selects which physical paths to time: "window"
-    // (explode → shuffle → window chain) and/or "grouped" (typed per-doc
-    // kernel, zero shuffle). Default both.
-    val paths = sys.env.getOrElse("SPARK_GRAFT_PATHS", "window,grouped").split(",").map(_.trim).toSet
+    // (explode → shuffle → window chain), "grouped" (typed per-doc kernel,
+    // zero shuffle), and/or "regroup" (ungrouped grid → one collect_list
+    // exchange → per-doc kernel — the general-path replacement).
+    val paths = sys.env.getOrElse("SPARK_GRAFT_PATHS", "window,grouped,regroup")
+      .split(",").map(_.trim).toSet
     val corpusPath = ensureCorpus(spark, nDocs)
     val (tokens, flagshipOut) = flagship(spark, corpusPath)
     // per-run shuffle volume via a stage-metrics listener (protocol in
@@ -201,11 +203,27 @@ object Bench {
     val gTps = if (groupedSec > 0) tokens / groupedSec else 0.0
     val gTpts = if (grpTask > 0) tokens / grpTask else 0.0
 
+    // --- regroup flagship: ungrouped grid → ONE exchange → per-doc kernel ---
+    val (regroupSec, rgLegs, rShufWrite) = if (paths("regroup")) {
+      val regroupOut = graft.pipeline.FlagshipJob.regroupConsumeAll(
+        spark.read.parquet(corpusPath),
+        preShuffleCompact = sys.env.get("SPARK_GRAFT_PRESHUFFLE").contains("1"))
+      val writeRg = () => regroupOut.write.mode("overwrite").format("noop").save()
+      leg(writeRg) // warmup
+      shufWrite.set(0L)
+      val rs = (1 to reps).map(_ => leg(writeRg))
+      (median(rs.map(_._1)), rs, shufWrite.get() / math.max(reps, 1))
+    } else (0.0, Seq.empty[(Double, Double, Double, Double, Double, Double, Double)], 0L)
+    val rgReps = rgLegs.map(_._1)
+    val rgTask = if (rgLegs.nonEmpty) median(rgLegs.map(_._2)) else 0.0
+    val rTps = if (regroupSec > 0) tokens / regroupSec else 0.0
+    val rTpts = if (rgTask > 0) tokens / rgTask else 0.0
+
     // host-weather probes (alu = register-resident xorshift, membw =
     // streaming sum over a 512 MiB shared array): one sample directly
     // after EVERY rep (arrays below) so each measurement carries its own
     // weather; the scalars are the medians across all sampled legs
-    val allLegs = flagLegs ++ grpLegs
+    val allLegs = flagLegs ++ grpLegs ++ rgLegs
     val aluSec = if (allLegs.nonEmpty) median(allLegs.map(_._4)) else 0.0
     val membwSec = if (allLegs.nonEmpty) median(allLegs.map(_._5)) else 0.0
     val chaseSec = if (allLegs.nonEmpty) median(allLegs.map(_._6)) else 0.0
@@ -218,17 +236,28 @@ object Bench {
     // broken query would otherwise read as a phantom speedup)
     val total = results.map(_._2).filter(_ >= 0).sum + flagshipSec
     val totalS = f"$total%.3f"
+    // host-weather regime stamp (VERDICT r4 #2): the documented good band
+    // is ALU ≈ 0.6–0.8 s — a sweep/suite recorded outside it carries the
+    // ±3× weather and must not be read at face value. The stamp rides the
+    // JSON so the recorded artifact adjudicates itself.
+    val regime = if (aluSec > 0.0 && aluSec <= 0.85) "good" else "degraded"
     val jsonLine =
-      s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"tokens":$tokens,"flagship_sec":${f"$flagshipSec%.3f"},"tokens_per_sec":${tps.toLong},"flagship_reps_sec":${jarr(flagReps)},"flagship_rep_task_sec":${jarr(flagLegs.map(_._2))},"flagship_rep_alu_sec":${jarr(flagLegs.map(_._4))},"flagship_rep_membw_sec":${jarr(flagLegs.map(_._5))},"flagship_rep_chase_sec":${jarr(flagLegs.map(_._6))},"flagship_rep_disk_sec":${jarr(flagLegs.map(_._7))},"flagship_task_sec":${f"$flagTask%.3f"},"flagship_gc_sec":${f"$flagGc%.3f"},"tokens_per_task_sec":${tpts.toLong},"grouped_sec":${f"$groupedSec%.3f"},"grouped_tokens_per_sec":${gTps.toLong},"grouped_reps_sec":${jarr(grpReps)},"grouped_task_sec":${f"$grpTask%.3f"},"grouped_gc_sec":${f"$grpGc%.3f"},"grouped_tokens_per_task_sec":${gTpts.toLong},"grouped_rep_task_sec":${jarr(grpLegs.map(_._2))},"grouped_rep_alu_sec":${jarr(grpLegs.map(_._4))},"grouped_rep_membw_sec":${jarr(grpLegs.map(_._5))},"grouped_rep_chase_sec":${jarr(grpLegs.map(_._6))},"grouped_rep_disk_sec":${jarr(grpLegs.map(_._7))},"alu_control_sec":${f"$aluSec%.3f"},"membw_control_sec":${f"$membwSec%.3f"},"chase_control_sec":${f"$chaseSec%.3f"},"disk_control_sec":${f"$diskSec%.3f"},"window_buffer":$windowBuffer,"shuffle_write_bytes":$shufWriteRun,"shuffle_read_bytes":$shufReadRun,"grouped_shuffle_write_bytes":$gShufWrite,"shuffle_partitions":$shufflePartitions,"input_partitions":256,"query_reps":$queryReps,"failed_queries":$failedJson}"""
+      s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"tokens":$tokens,"flagship_sec":${f"$flagshipSec%.3f"},"tokens_per_sec":${tps.toLong},"flagship_reps_sec":${jarr(flagReps)},"flagship_rep_task_sec":${jarr(flagLegs.map(_._2))},"flagship_rep_alu_sec":${jarr(flagLegs.map(_._4))},"flagship_rep_membw_sec":${jarr(flagLegs.map(_._5))},"flagship_rep_chase_sec":${jarr(flagLegs.map(_._6))},"flagship_rep_disk_sec":${jarr(flagLegs.map(_._7))},"flagship_task_sec":${f"$flagTask%.3f"},"flagship_gc_sec":${f"$flagGc%.3f"},"tokens_per_task_sec":${tpts.toLong},"grouped_sec":${f"$groupedSec%.3f"},"grouped_tokens_per_sec":${gTps.toLong},"grouped_reps_sec":${jarr(grpReps)},"grouped_task_sec":${f"$grpTask%.3f"},"grouped_gc_sec":${f"$grpGc%.3f"},"grouped_tokens_per_task_sec":${gTpts.toLong},"grouped_rep_task_sec":${jarr(grpLegs.map(_._2))},"grouped_rep_alu_sec":${jarr(grpLegs.map(_._4))},"grouped_rep_membw_sec":${jarr(grpLegs.map(_._5))},"grouped_rep_chase_sec":${jarr(grpLegs.map(_._6))},"grouped_rep_disk_sec":${jarr(grpLegs.map(_._7))},"regroup_sec":${f"$regroupSec%.3f"},"regroup_tokens_per_sec":${rTps.toLong},"regroup_reps_sec":${jarr(rgReps)},"regroup_task_sec":${f"$rgTask%.3f"},"regroup_tokens_per_task_sec":${rTpts.toLong},"regroup_rep_task_sec":${jarr(rgLegs.map(_._2))},"regroup_rep_alu_sec":${jarr(rgLegs.map(_._4))},"regroup_shuffle_write_bytes":$rShufWrite,"alu_control_sec":${f"$aluSec%.3f"},"membw_control_sec":${f"$membwSec%.3f"},"chase_control_sec":${f"$chaseSec%.3f"},"disk_control_sec":${f"$diskSec%.3f"},"regime":"$regime","window_buffer":$windowBuffer,"shuffle_write_bytes":$shufWriteRun,"shuffle_read_bytes":$shufReadRun,"grouped_shuffle_write_bytes":$gShufWrite,"shuffle_partitions":$shufflePartitions,"input_partitions":256,"query_reps":$queryReps,"failed_queries":$failedJson}"""
+    // full line FIRST (humans + file), compact summary LAST: the round
+    // driver records a bounded stdout tail, and BENCH_r04.json's 2000-char
+    // window cut the full line mid-object ("parsed": null — VERDICT r4 #5).
+    // The final line is therefore a SELF-CONTAINED < 1 KB summary; the
+    // per-query map and per-rep arrays live in the full line and in
+    // `bench_out.json` (committed per round).
     println(jsonLine)
-    // also persist the line to a file: the recorded artifact must not be a
-    // truncated stdout tail (VERDICT r3 item 4c — BENCH_r03.json's tail cut
-    // mid-object). SPARK_GRAFT_BENCH_OUT overrides the path.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception => System.err.println(s"[bench] could not write $outPath: $e") }
+    val compact =
+      s"""{"metric":"total","value":$totalS,"unit":"sec","sf":"$sfDir","cpus":$cpus,"tokens":$tokens,"flagship_sec":${f"$flagshipSec%.3f"},"tokens_per_sec":${tps.toLong},"tokens_per_task_sec":${tpts.toLong},"grouped_sec":${f"$groupedSec%.3f"},"grouped_tokens_per_sec":${gTps.toLong},"regroup_sec":${f"$regroupSec%.3f"},"regroup_tokens_per_sec":${rTps.toLong},"alu_control_sec":${f"$aluSec%.3f"},"membw_control_sec":${f"$membwSec%.3f"},"regime":"$regime","n_queries":${results.size},"queries_total_sec":${f"${results.map(_._2).filter(_ >= 0).sum}%.3f"},"failed_queries":$failedJson,"detail_file":"$outPath"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -145,6 +145,17 @@ object Explain {
     println("=== grouped token kernel (must be shuffle-free) ===")
     check("grouped: zero exchanges")(!groupedPlan.contains("Exchange"))
 
+    // --- regroup route (ungrouped general path): exactly ONE exchange,
+    // NO sort, NO window — the collect_list re-group replaces the window
+    // chain's giant sort + 8-frame evaluation (VERDICT r4 #1) ---
+    val regroup = graft.pipeline.FlagshipJob.regroupConsumeAll(corpus.toDF())
+    val regroupPlan = regroup.queryExecution.executedPlan.toString
+    println("=== regroup route (one exchange, no sort, no window) ===")
+    check("regroup: exactly one hash exchange")(
+      "Exchange hashpartitioning".r.findAllIn(regroupPlan).length == 1)
+    check("regroup: no sort")(!regroupPlan.contains("Sort "))
+    check("regroup: no window operator")(!regroupPlan.contains("Window"))
+
     // --- kinematic stats: NO percentile ImperativeAggregate (it buffers
     // every group value in executor memory — the 100-TB OOM the two-pass
     // rank formulation exists to avoid) and no object-hash agg on the path ---
@@ -191,6 +202,20 @@ object Explain {
     }
     check("simhash pairs: banded self-join children canonically equal (exchange reusable)")(
       selfJoinReusable.nonEmpty)
+
+    // --- IVF: no exchange may key on an array column (the centroid
+    // assignment groups by the scalar id only; the embedding rides via
+    // first() — VERDICT r4 #4) ---
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ivf = graft.ann.Similarity.ivfTopK(
+      emb0.where(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding")),
+      emb0, k = 3, nCentroids = 4, nProbe = 2)
+    val ivfPlan = ivf.queryExecution.executedPlan.toString
+    println("=== ivf top-k (scalar-keyed exchanges only) ===")
+    check("ivf: no exchange keyed on the embedding array")(
+      !"hashpartitioning\\([^)]*_v#".r.findFirstIn(ivfPlan).isDefined &&
+        !"hashpartitioning\\([^)]*embedding#".r.findFirstIn(ivfPlan).isDefined)
+    check("ivf: no CartesianProduct")(!ivfPlan.contains("CartesianProduct"))
 
     // --- decontamination: benchmark side broadcast, corpus side scan+agg ---
     val decon = graft.dedup.Dedup.contaminatedDocs(

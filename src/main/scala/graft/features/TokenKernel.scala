@@ -115,12 +115,18 @@ object TokenKernel {
 
   /** The per-document loop. Returns (sums..., nSessions) via a single pass.
     * Feature f of derivative order d is undefined (NaN) for the first d
-    * positions — identical to the window path's lag-null chain. */
+    * positions — identical to the window path's lag-null chain.
+    *
+    * `positions == null` means the contiguous pre-grouped case (pos ≡ i,
+    * Δt constant). A non-null strictly-increasing `positions` array is the
+    * SPARSE case (re-grouped from an ungrouped grid — gaps allowed): Δt per
+    * step is `Δpos·stepSec` through the same integer-micros → double divide
+    * as the window path's `(micros − lag(micros)).cast(double)/1e6`, and
+    * the session boundary re-tests `ΔtMicros > gapMicros` per step exactly
+    * like [[graft.session.Sessionize.byGap]]. */
   private final class DocState(stepSec: Long, gapSeconds: Double) extends Serializable {
     private val dtMicros: Long = stepSec * 1000000L
-    private val dt: Double = dtMicros.toDouble / 1e6
     private val gapMicros: Long = (gapSeconds * 1e6).toLong
-    private val boundary: Boolean = dtMicros > gapMicros
 
     /** Per-feature sum accumulator that distinguishes SQL-null (skipped by
       * sum) from a genuine NaN VALUE (which poisons the sum, exactly like
@@ -133,8 +139,11 @@ object TokenKernel {
       @inline def opt: Option[Double] = if (seen) Some(sum) else None
     }
 
-    def run(r: SeqRow, emit: TokenRow => Unit): DocVector = {
-      val n = r.tokens.length
+    def run(r: SeqRow, emit: TokenRow => Unit): DocVector =
+      run(r.doc_id, r.tokens, null, emit)
+
+    def run(docId: String, tokens: Array[Int], positions: Array[Int], emit: TokenRow => Unit): DocVector = {
+      val n = tokens.length
       val sDist, sDistStart, sSpeed, sAcc, sJerk, sBrg, sBrate, sRobr = new SumAcc
       var pLat, pLon = 0.0
       var lat0, lon0 = 0.0
@@ -146,13 +155,20 @@ object TokenKernel {
       var i = 0
       var sessions = 0L
       while (i < n) {
-        val tok = r.tokens(i)
-        val lat = -90.0 + hashFrac(1, tok, i) * 180.0
-        val lon = -180.0 + hashFrac(2, tok, i) * 360.0
+        val tok = tokens(i)
+        val pos = if (positions eq null) i else positions(i)
+        val lat = -90.0 + hashFrac(1, tok, pos) * 180.0
+        val lon = -180.0 + hashFrac(2, tok, pos) * 360.0
         if (i == 0) { lat0 = lat; lon0 = lon }
         var dist, distStart, speed, accel, jerk, brg, brate, robr = 0.0
         var dDist, dSpeed, dAcc, dJerk, dBrg, dBrate, dRobr = false
         if (i > 0) {
+          // Δt via the window path's exact op order: integer micros diff,
+          // then ONE correctly-rounded divide (Kinematic.dtSeconds)
+          val dtMic =
+            if (positions eq null) dtMicros
+            else (pos.toLong - positions(i - 1).toLong) * dtMicros
+          val dt = dtMic.toDouble / 1e6
           dist = haversine(pLat, pLon, lat, lon); dDist = true
           distStart = haversine(lat0, lon0, lat, lon)
           brg = bearing(pLat, pLon, lat, lon); dBrg = true
@@ -164,14 +180,14 @@ object TokenKernel {
           if (dSpeed && pSpeedDef) { accel = (speed - pSpeed) / dt; dAcc = !isInf(accel) }
           if (dAcc && pAccDef) { jerk = (accel - pAcc) / dt; dJerk = !isInf(jerk) }
           if (dBrate && pBrateDef) { robr = (brate - pBrate) / dt; dRobr = !isInf(robr) }
-          if (boundary) sessions += 1
+          if (dtMic > gapMicros) sessions += 1
         }
         sDist.add(dist, dDist); sDistStart.add(distStart, dDist)
         sSpeed.add(speed, dSpeed); sAcc.add(accel, dAcc); sJerk.add(jerk, dJerk)
         sBrg.add(brg, dBrg); sBrate.add(brate, dBrate); sRobr.add(robr, dRobr)
         if (emit ne null) {
           def o(v: Double, d: Boolean): Option[Double] = if (d) Some(v) else None
-          emit(TokenRow(r.doc_id, i, tok, lat, lon, o(dist, dDist), o(distStart, dDist),
+          emit(TokenRow(docId, pos, tok, lat, lon, o(dist, dDist), o(distStart, dDist),
             o(speed, dSpeed), o(accel, dAcc), o(jerk, dJerk), o(brg, dBrg),
             o(brate, dBrate), o(robr, dRobr), sessions))
         }
@@ -182,7 +198,7 @@ object TokenKernel {
         pBrate = brate; pBrateDef = dBrate
         i += 1
       }
-      DocVector(r.doc_id, n, sessions, sDist.opt, sDistStart.opt, sSpeed.opt,
+      DocVector(docId, n, sessions, sDist.opt, sDistStart.opt, sSpeed.opt,
         sAcc.opt, sJerk.opt, sBrg.opt, sBrate.opt, sRobr.opt)
     }
   }
@@ -198,6 +214,96 @@ object TokenKernel {
       .where(org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("tokens")) > 0)
       .as(Encoders.product[SeqRow])
       .map(r => state.run(r, null))(Encoders.product[DocVector])
+  }
+
+  /** Row shape of the packed re-group aggregate: one `(pos << 32) | token`
+    * long per observation (sorted lazily in the kernel). */
+  case class PackedSeqRow(doc_id: String, pt: Array[Long])
+
+  /** UNGROUPED-input fast path (VERDICT r4 #1): per-doc feature vectors
+    * over an exploded / evented grid `(doc_id, pos, token)` that is NOT
+    * pre-grouped — the general-path replacement for the exploded-grid
+    * 8-frame window chain.
+    *
+    * Plan shape: project each row to ONE packed long
+    * `(pos << 32) | (token & 0xFFFFFFFF)` (codegen), hash-aggregate
+    * `collect_list` per doc — partial lists merge map-side, so the single
+    * exchange carries ~8 B/observation and NOTHING is ever sorted by the
+    * engine (no giant external sort, no window frames, no 28-B grid rows).
+    * Each task then sorts its docs' primitive long arrays
+    * (`java.util.Arrays.sort`, dual-pivot on longs — cache-resident for
+    * real doc lengths) and runs the same zero-copy per-doc loop as
+    * [[docVectors]]. Signed packing keeps order correct for negative
+    * positions; positions must be UNIQUE per doc (same contract as the
+    * window path's total order).
+    *
+    * Scale: wall = scan + one token-compact shuffle + O(Σ n log n_doc)
+    * local work with O(doc) memory — the shuffle is the only global
+    * barrier, so efficiency tracks the exchange, not a sort/window stage
+    * (BENCH.md §regroup records the ≥0.8 N→4N sweep). Whale docs bound a
+    * single task at O(n_doc) memory — the same envelope as the window
+    * path's per-partition frame, without the sorter. */
+  def regroupDocVectors(
+      grid: DataFrame,
+      stepSec: Long = 1L,
+      gapSeconds: Double = 1.5,
+      docCol: String = "doc_id",
+      posCol: String = "pos",
+      tokenCol: String = "token"
+  ): Dataset[DocVector] = {
+    val state = new DocState(stepSec, gapSeconds)
+    regrouped(grid, docCol, posCol, tokenCol).map { r =>
+      val (positions, tokens) = unpack(r.pt)
+      state.run(r.doc_id, tokens, positions, null)
+    }(Encoders.product[DocVector])
+  }
+
+  /** Per-token features through the re-group route (parity surface). */
+  def regroupTokenRows(
+      grid: DataFrame,
+      stepSec: Long = 1L,
+      gapSeconds: Double = 1.5,
+      docCol: String = "doc_id",
+      posCol: String = "pos",
+      tokenCol: String = "token"
+  ): Dataset[TokenRow] = {
+    val state = new DocState(stepSec, gapSeconds)
+    regrouped(grid, docCol, posCol, tokenCol).flatMap { r =>
+      val (positions, tokens) = unpack(r.pt)
+      val buf = new scala.collection.mutable.ArrayBuffer[TokenRow](tokens.length)
+      state.run(r.doc_id, tokens, positions, buf += _)
+      buf
+    }(Encoders.product[TokenRow])
+  }
+
+  /** One exchange, zero sorts: codegen'd pack → map-side-combined
+    * collect_list of primitive longs. */
+  private def regrouped(
+      grid: DataFrame, docCol: String, posCol: String, tokenCol: String): Dataset[PackedSeqRow] = {
+    import org.apache.spark.sql.functions._
+    val packed = shiftleft(col(posCol).cast("long"), 32)
+      .bitwiseOR(col(tokenCol).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
+    grid
+      .select(col(docCol).cast("string").as("doc_id"), packed.as("_pt"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("_pt")).as("pt"))
+      .as(Encoders.product[PackedSeqRow])
+  }
+
+  /** Sort the packed array (signed long order = (pos, token-unsigned)
+    * lexicographic) and split into primitive position/token arrays. */
+  private def unpack(pt: Array[Long]): (Array[Int], Array[Int]) = {
+    java.util.Arrays.sort(pt)
+    val n = pt.length
+    val positions = new Array[Int](n)
+    val tokens = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      positions(i) = (pt(i) >> 32).toInt
+      tokens(i) = pt(i).toInt
+      i += 1
+    }
+    (positions, tokens)
   }
 
   /** Per-token features (parity/testing surface; explodes like the grid). */

@@ -32,4 +32,17 @@ object FlagshipJob {
     * TokenKernelSpec proves equality). */
   def groupedConsumeAll(corpus: DataFrame): DataFrame =
     graft.features.TokenKernel.docVectors(corpus, stepSec = 1L, gapSeconds = GapSeconds).toDF()
+
+  /** Same result over the UNGROUPED grid through the re-group route
+    * (VERDICT r4 #1): explode (narrow) → one packed-long collect_list
+    * exchange → per-doc kernel. No sort, no window frames — the
+    * general-path replacement when the input is not pre-grouped.
+    * `preShuffleCompact` mirrors [[windowConsumeAll]]'s A/B knob: cluster
+    * the compact SEQUENCE rows first so the explode + re-group aggregate
+    * plan NO further exchange (GenerateExec preserves partitioning). */
+  def regroupConsumeAll(corpus: DataFrame, preShuffleCompact: Boolean = false): DataFrame = {
+    val clustered = if (preShuffleCompact) corpus.repartition(col("doc_id")) else corpus
+    val (grid, _) = TokenAdapter.explodeTokens(clustered)
+    graft.features.TokenKernel.regroupDocVectors(grid, stepSec = 1L, gapSeconds = GapSeconds).toDF()
+  }
 }
