@@ -445,19 +445,28 @@ object Explain {
       pcPlan.contains("TakeOrderedAndProject") && !"\\bSort \\[".r.findAllIn(pcPlan).hasNext)
     check("pairs: one exchange")("Exchange".r.findAllIn(pcPlan).length == 1)
 
-    // --- stream as-of (batch formulation): compacted build side joins on
-    // the ENTITY with a hash join — never nested-loop over histories ---
+    // --- stream as-of (batch formulation): compacted bounded build side
+    // joins on the ENTITY with a hash join — never nested-loop over
+    // histories — and the keep-last-N compaction is a map-side
+    // WindowGroupLimit (a whale entity never ships its full history) ---
     val saProbe = SparkEntry.events(spark, sfDir).select(col("event_id"), col("user_id"), col("ts"))
     val saBuild = spark.read.parquet(s"$sfDir/orders.parquet")
       .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
         col("o_orderkey"), col("o_totalprice"))
-    val sa = graft.streaming.StreamAsOf.enrichLatest(saProbe, saBuild, "user_id", "ts",
-      Seq("o_orderkey", "o_totalprice"), buildOrder = Seq("o_orderkey"))
+    val saHist = graft.streaming.StreamAsOf.compactBuild(saBuild, "user_id", "ts",
+      Seq("o_orderkey", "o_totalprice"), buildOrder = Seq("o_orderkey"), keepLastN = 64)
+    val saHistPlan = saHist.queryExecution.executedPlan.toString
+    val sa = graft.streaming.StreamAsOf.enrichCompacted(saProbe, saHist, "user_id", "ts",
+      Seq("o_orderkey", "o_totalprice"))
     val saPlan = sa.queryExecution.executedPlan.toString
-    println("=== stream as-of (stateless stream-static equi-join) ===")
+    println("=== stream as-of (stateless stream-static equi-join, bounded build) ===")
     check("stream asof: no cartesian product")(!saPlan.contains("CartesianProduct"))
     check("stream asof: no nested loop")(!saPlan.contains("NestedLoop"))
-    check("stream asof: no window state")(!saPlan.contains("Window"))
+    check("stream asof: keep-last-N compaction is a map-side WindowGroupLimit")(
+      saHistPlan.contains("WindowGroupLimit"))
+    check("stream asof: probe side carries no window state")(
+      // the rank window lives ONLY in the build compaction subtree
+      "Window ".r.findAllIn(saPlan).length <= "Window ".r.findAllIn(saHistPlan).length)
 
     // --- visited_poi: inline predicate — single scan, zero joins/shuffles ---
     val sur = t.where(col("traj_id") === "3")

@@ -2,7 +2,10 @@ package graft.streaming
 
 import graft.core.Times
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.slf4j.LoggerFactory
 
 /** Streaming point-in-time enrichment: attach the most recent build-side
   * row (build.ts ≤ event.ts, [[graft.asof.AsOfJoin.backward]] semantics
@@ -10,61 +13,110 @@ import org.apache.spark.sql.functions._
   * UNBOUNDED stream of events — the online half of the as-of family
   * (feature lookup at serving/ingest time against a point-in-time table).
   *
-  * Formulation: the build side is compacted to ONE row per entity holding
-  * its (ts, payload) history as an array, then a stream-static equi-join
-  * on entity + a per-row `filter` → `array_max` picks the latest
-  * candidate. Every streaming operator here is STATELESS (projections +
-  * stream-static join — no watermark, no state store, append mode), so
-  * the operator needs no eviction story and a restart replays cleanly
-  * from the checkpoint.
+  * Formulation: the build side is COMPACTED to one bounded row per entity
+  * holding its `keepLastN` most recent (ts, payload) snapshots as an array
+  * ([[compactBuild]]), then a stream-static equi-join on entity + a
+  * per-row `filter` → `array_max` picks the latest candidate. Every
+  * streaming operator here is STATELESS (projections + stream-static join
+  * — no watermark, no state store, append mode), so the operator needs no
+  * eviction story and a restart replays cleanly from the checkpoint.
   *
-  * Scale shape: the compacted build side is a static aggregate — Spark
-  * re-evaluates a static subplan per micro-batch, so PERSIST the build
-  * frame (or pre-materialize the histories table) for a long-running
-  * stream; per-entity history arrays are bounded
-  * LOUDLY by `maxBuildsPerEntity` (a silent giant array would detonate
-  * the join row width — the same opt-out-cap law as the dedup bucket
-  * valve). Size it to the real contract: a point-in-time feature table
-  * holds snapshots per entity, not the raw event firehose. The candidate
-  * scan is O(|history|) per event; histories that big want the BATCH
-  * banded as-of, not an online lookup.
+  * Scale contract (VERDICT r4 #3 — this replaces the old unbounded
+  * history array + raise-at-100k design):
+  *
+  *  - '''keep-last-N with loud drop''': each entity's history is bounded
+  *    at `keepLastN` snapshots — the N most recent by (ts, buildOrder).
+  *    Older snapshots are DROPPED, and the drop is loud: [[enrichLatest]]
+  *    counts exactly how many build rows compaction evicted
+  *    ([[droppedBuilds]] — same one-agg audit shape as the spatial-join
+  *    cell valve) and WARN-logs it with the contract implication. The
+  *    semantics change under drops is precise and documented: an event is
+  *    enriched correctly whenever its ts is at-or-after its entity's
+  *    OLDEST KEPT snapshot; an event older than every kept snapshot gets
+  *    null (as if the entity had no history) instead of a dropped value.
+  *    Point-in-time feature tables hold recent snapshots per entity, not
+  *    the raw event firehose — histories deeper than `keepLastN` want the
+  *    BATCH banded as-of, and with no drops the output is bit-identical
+  *    to the unbounded formulation (StreamAsOfSpec asserts both).
+  *  - '''whale-safe compaction''': the keep-last-N is a
+  *    `row_number ≤ N` rank-limit, which Catalyst rewrites to a map-side
+  *    WindowGroupLimit — a whale entity ships O(N × tasks) rows through
+  *    the compaction exchange, never its full history.
+  *  - '''materialized once''': [[enrichLatest]] persists
+  *    (MEMORY_AND_DISK) and eagerly materializes the compacted table
+  *    before the first micro-batch, so the static subplan is NOT
+  *    re-aggregated per micro-batch. The cache lives for the query;
+  *    callers that manage lifecycles explicitly (long-running apps,
+  *    repeated harness runs) use [[compactBuild]] + [[enrichCompacted]]
+  *    and persist/unpersist themselves — [[StreamDrive.asOfOverEvents]]
+  *    is the reference usage.
+  *  - '''bounded probe work''': the per-event candidate scan is
+  *    O(keepLastN), not O(|history|).
   *
   * Works identically on a batch DataFrame (all ops are standard) —
   * StreamAsOfSpec asserts exceptAll-equality with AsOfJoin.backward.
   *
-  * Output: stream columns + `asof_ts` + `valueCols` (null when no build
-  * row at-or-before the event, or the event time is null). */
+  * Output: stream columns + `asof_ts` + `valueCols` (null when no kept
+  * build row at-or-before the event, or the event time is null). */
 object StreamAsOf {
 
-  def enrichLatest(
-      stream: DataFrame,
+  private val log = LoggerFactory.getLogger(getClass)
+
+  /** Compact the build side to ONE bounded row per entity:
+    * `(entity, _builds array<struct<_m, _ord…, _p>>)` holding the
+    * `keepLastN` most recent snapshots by (ts, buildOrder…) — struct
+    * field order makes `array_max` = backward's last-wins winner. The
+    * rank-limit triggers Catalyst's map-side WindowGroupLimit, so a whale
+    * entity never ships its full history through the exchange. Null-ts
+    * build rows are never candidates and are dropped silently (same law
+    * as the batch operator). */
+  def compactBuild(
       build: DataFrame,
       entity: String,
       ts: String,
       valueCols: Seq[String],
       buildOrder: Seq[String] = Nil,
-      toleranceSec: Double = -1.0,
-      maxBuildsPerEntity: Int = 100000
+      keepLastN: Int = 64
   ): DataFrame = {
-    require(maxBuildsPerEntity > 0, "maxBuildsPerEntity must be positive")
-    val streamCols = stream.columns.toSeq
-    // candidate element: (event-time micros, tie-breaks…, payload) — struct
-    // ordering is field-lexicographic, so array_max = latest ts, then
-    // largest buildOrder: exactly backward's last-wins rule
+    require(keepLastN > 0, "keepLastN must be positive")
     val elem = struct(
       Times.micros(col(ts)).as("_m") +:
         buildOrder.map(c => col(c).as(s"_ord_$c")) :+
         struct(col(ts).as("_m_ts") +: valueCols.map(col): _*).as("_p"): _*)
-    val histories = build
-      .where(Times.micros(col(ts)).isNotNull) // a null-ts build row is never a candidate
+    val w = Window.partitionBy(col(entity))
+      .orderBy((Times.micros(col(ts)).desc +: buildOrder.map(col(_).desc)): _*)
+    build
+      .where(Times.micros(col(ts)).isNotNull)
+      .select(col(entity), elem.as("_b"), row_number().over(w).as("_rn"))
+      .where(col("_rn") <= keepLastN)
       .groupBy(col(entity))
-      .agg(collect_list(elem).as("_builds0"))
-      // the cap rides the USED column so pruning can never drop it
-      .select(col(entity), when(size(col("_builds0")) > maxBuildsPerEntity,
-          raise_error(concat(
-            lit(s"StreamAsOf: entity "), col(entity).cast("string"),
-            lit(s" has > $maxBuildsPerEntity build rows — compact the build side or use the batch as-of"))))
-        .otherwise(col("_builds0")).as("_builds"))
+      .agg(collect_list(col("_b")).as("_builds"))
+  }
+
+  /** Exact count of build rows [[compactBuild]] evicts at `keepLastN` —
+    * one map-side-combined aggregate over the build side (the loud-drop
+    * audit [[enrichLatest]] runs at materialization time). */
+  def droppedBuilds(build: DataFrame, entity: String, ts: String, keepLastN: Int): Long = {
+    require(keepLastN > 0, "keepLastN must be positive")
+    val perEntity = build
+      .where(Times.micros(col(ts)).isNotNull)
+      .groupBy(col(entity)).agg(count(lit(1)).as("_n"))
+    val r = perEntity
+      .agg(coalesce(sum(greatest(col("_n") - keepLastN, lit(0L))), lit(0L))).first()
+    r.getLong(0)
+  }
+
+  /** Enrich a stream against an already-compacted (and, for long-running
+    * queries, caller-persisted) histories frame from [[compactBuild]]. */
+  def enrichCompacted(
+      stream: DataFrame,
+      histories: DataFrame,
+      entity: String,
+      ts: String,
+      valueCols: Seq[String],
+      toleranceSec: Double = -1.0
+  ): DataFrame = {
+    val streamCols = stream.columns.toSeq
     val pMic = Times.micros(col(ts))
     val cand = filter(col("_builds"), b => b.getField("_m") <= pMic)
     val best = array_max(cand)
@@ -79,5 +131,35 @@ object StreamAsOf {
         streamCols.map(col) ++
           Seq(when(matched, mTs).as("asof_ts")) ++
           valueCols.map(c => when(matched, best.getField("_p").getField(c)).as(c)): _*)
+  }
+
+  /** One-call form: compact → persist → materialize → loud drop audit →
+    * join. The compacted table is persisted for the life of the query
+    * (callers needing explicit lifecycle use [[compactBuild]] +
+    * [[enrichCompacted]]). `auditDrops = false` skips the extra audit
+    * aggregate (e.g. when the caller already knows the history depth). */
+  def enrichLatest(
+      stream: DataFrame,
+      build: DataFrame,
+      entity: String,
+      ts: String,
+      valueCols: Seq[String],
+      buildOrder: Seq[String] = Nil,
+      toleranceSec: Double = -1.0,
+      keepLastN: Int = 64,
+      auditDrops: Boolean = true
+  ): DataFrame = {
+    val histories = compactBuild(build, entity, ts, valueCols, buildOrder, keepLastN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEntities = histories.count() // materialize BEFORE the first micro-batch
+    if (auditDrops) {
+      val dropped = droppedBuilds(build, entity, ts, keepLastN)
+      if (dropped > 0L)
+        log.warn(
+          s"[graft] StreamAsOf keep-last-$keepLastN evicted $dropped build rows across " +
+            s"$nEntities entities — events older than an entity's oldest kept snapshot " +
+            s"enrich to null; raise keepLastN or use the batch banded as-of for deep lookback")
+    }
+    enrichCompacted(stream, histories, entity, ts, valueCols, toleranceSec)
   }
 }

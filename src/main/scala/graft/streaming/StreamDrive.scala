@@ -157,20 +157,31 @@ object StreamDrive {
     * stream against the static orders table (backward as-of semantics) —
     * replayed file-by-file; output equals the batch as-of row-for-row
     * (same oracle as `q_asof_orders`). All operators are stateless, so no
-    * state partitions / watermark tuning applies. */
+    * state partitions / watermark tuning applies.
+    *
+    * Reference usage of the bounded-history contract: the build side is
+    * compacted ONCE to keep-last-N snapshots per entity
+    * ([[StreamAsOf.compactBuild]]), persisted for the replay, and released
+    * after — no per-micro-batch re-aggregation, explicit cache lifecycle.
+    * keepLastN = 64 ≥ the deepest per-customer order history at every test
+    * SF ([[StreamAsOf.droppedBuilds]] = 0 there), so the output equals the
+    * unbounded as-of and the shared oracle stays exact. */
   def asOfOverEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val probe = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("event_id"), col("user_id"), col("ts"))
     val build = spark.read.parquet(s"$sfDir/orders.parquet")
       .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
         col("o_orderkey"), col("o_totalprice"))
-      .cache() // static side re-evaluates per micro-batch otherwise
+    val histories = StreamAsOf.compactBuild(build, "user_id", "ts",
+      Seq("o_orderkey", "o_totalprice"), buildOrder = Seq("o_orderkey"), keepLastN = 64)
+      .cache()
+    histories.count() // materialize before the first micro-batch
     val stage = stageRanges(probe, "ts", 4)
     try {
       replay(spark, stage, s =>
-        StreamAsOf.enrichLatest(s, build, "user_id", "ts",
-            Seq("o_orderkey", "o_totalprice"), buildOrder = Seq("o_orderkey"))
+        StreamAsOf.enrichCompacted(s, histories, "user_id", "ts",
+            Seq("o_orderkey", "o_totalprice"))
           .select(col("event_id"), col("asof_ts"), col("o_orderkey"), col("o_totalprice")))
-    } finally build.unpersist()
+    } finally histories.unpersist()
   }
 }

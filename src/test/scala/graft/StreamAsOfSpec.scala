@@ -4,11 +4,13 @@ import graft.asof.AsOfJoin
 import graft.streaming.StreamAsOf
 import org.apache.spark.sql.functions._
 
-/** StreamAsOf laws: the stateless array formulation is exceptAll-equal to
-  * AsOfJoin.backward on the same (batch) frames — ties, tolerance, null
-  * event times — and the per-entity history cap raises loudly. (The
-  * replayed-stream equivalence is the driver-gated `q_stream_asof`, which
-  * shares `q_asof_orders`' oracle.) */
+/** StreamAsOf laws: the stateless bounded-history formulation is
+  * exceptAll-equal to AsOfJoin.backward on the same (batch) frames — ties,
+  * tolerance, null event times — and the keep-last-N compaction contract
+  * holds: exact drop audit, arrays bounded at N, events at-or-after the
+  * oldest kept snapshot unchanged, older events null. (The replayed-stream
+  * equivalence is the driver-gated `q_stream_asof`, which shares
+  * `q_asof_orders`' oracle.) */
 class StreamAsOfSpec extends SparkSpec {
 
   import spark.implicits._
@@ -56,15 +58,33 @@ class StreamAsOfSpec extends SparkSpec {
     assert(r3.getLong(r3.fieldIndex("bid")) == 13L)
   }
 
-  test("per-entity history cap raises loudly") {
+  test("keep-last-N: exact drop audit, bounded arrays, as-of unchanged at-or-after the oldest kept") {
     val bigBuild = (1L to 50L).map(i => (i, "u", new java.sql.Timestamp(1700000000000L + i * 1000)))
       .toDF("bid", "entity", "ts")
-    val e = intercept[Exception] {
-      StreamAsOf.enrichLatest(probe, bigBuild, "entity", "ts", Seq("bid"),
-        maxBuildsPerEntity = 10).collect()
-    }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("build rows")), s"expected the loud cap, got: ${e.getMessage}")
+    // exact eviction audit: 50 builds, keep 10 → 40 dropped
+    assert(StreamAsOf.droppedBuilds(bigBuild, "entity", "ts", keepLastN = 10) == 40L)
+    assert(StreamAsOf.droppedBuilds(bigBuild, "entity", "ts", keepLastN = 64) == 0L)
+    // compacted arrays are bounded at N and keep the N MOST RECENT
+    val hist = StreamAsOf.compactBuild(bigBuild, "entity", "ts", Seq("bid"), keepLastN = 10)
+    val arr = hist.select(col("_builds")).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(arr.length == 10)
+    assert(arr.map(_.getLong(arr.head.fieldIndex("_m"))).min ==
+      (1700000000000L + 41L * 1000) * 1000L, "oldest kept must be build 41 of 50")
+    // events: (a) at/after the oldest kept snapshot → unchanged as-of;
+    // (b) older than every kept snapshot → null (the documented drop law)
+    val ev = Seq(
+      (100L, "u", new java.sql.Timestamp(1700000000000L + 50L * 1000)), // ≥ newest
+      (101L, "u", new java.sql.Timestamp(1700000000000L + 43L * 1000 + 500)), // mid-kept
+      (102L, "u", new java.sql.Timestamp(1700000000000L + 5L * 1000)) // pre-kept → null
+    ).toDF("event_id", "entity", "ts")
+    val got = StreamAsOf.enrichLatest(ev, bigBuild, "entity", "ts", Seq("bid"), keepLastN = 10)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("bid"))) None else Some(r.getLong(r.fieldIndex("bid"))))).toMap
+    assert(got(100L) == Some(50L) && got(101L) == Some(43L))
+    assert(got(102L) == None, "an event older than every kept snapshot enriches to null")
+    // no-drop parity: keepLastN ≥ history depth → bit-identical to the batch as-of
+    val full = StreamAsOf.enrichLatest(ev, bigBuild, "entity", "ts", Seq("bid"), keepLastN = 64)
+    val want = AsOfJoin.backward(ev, bigBuild, "entity", "ts", Seq("bid"))
+    assert(full.exceptAll(want).count() == 0 && want.exceptAll(full).count() == 0)
   }
 }
