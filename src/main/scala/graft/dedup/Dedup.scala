@@ -259,6 +259,77 @@ object Dedup {
       .select(col(id), col("tok_pos"), col("sh"), col("df"))
   }
 
+  /** SUBSTRING-level dedup (VERDICT r4 #8): exact repeated-substring
+    * excision à la Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (the suffix-array ExactSubstr method), re-expressed
+    * as bounded k-token shingles: a substring of ≥ k tokens repeats in
+    * the corpus IFF one of its k-token shingles repeats, so slots whose
+    * k-shingle OCCURS ≥ `minOcc` times corpus-wide (within-doc repeats
+    * count, exactly like the suffix-array scan) are the repeated-substring
+    * coverage, and merging overlapping slots yields the maximal spans a
+    * scrub stage excises. k plays suffix-array ExactSubstr's min-match
+    * length (their 50 BPE tokens). DOCUMENTED DEVIATION: every occurrence
+    * is scrubbed (boilerplate semantics) — the reference method keeps one
+    * canonical copy, which needs a per-cluster global election; pair this
+    * with [[exactDedup]]/[[keepBestPerCluster]] when a surviving copy
+    * matters.
+    *
+    * 100-TB shape: ONE shingle-keyed map-side-combined occurrence count
+    * (the only corpus-wide shuffle), hot set bounded by construction
+    * (≤ total slots / minOcc) and capped at `maxSetSize` by (occ desc, sh
+    * asc) TakeOrdered — always broadcastable; coverage is then a scan +
+    * broadcast semi-join, per-doc interval merging is ONE `aggregate` HOF
+    * fold over each doc's sorted slot array (no window, no second global
+    * sort — the regroup exchange carries only covered slots).
+    *
+    * Output: one row per input doc — (id, n_tok, n_spans, n_removed,
+    * n_kept): maximal repeated-span count, tokens excised, tokens kept. */
+  def scrubRepeatedSpans(
+      corpus: DataFrame,
+      k: Int = 3,
+      minOcc: Int = 2,
+      id: String = "doc_id",
+      text: String = "text",
+      maxSetSize: Int = 1 << 20
+  ): DataFrame = {
+    require(k >= 1, s"shingle length must be >= 1, got $k")
+    require(minOcc >= 2, s"minOcc must be >= 2 (a once-seen substring is not repeated), got $minOcc")
+    require(maxSetSize > 0, s"maxSetSize must be positive, got $maxSetSize")
+    val positioned = corpus.select(
+      col(id),
+      posexplode(TextHash.positionedShingleHashes(TextHash.tokenHashes(col(text)), k))
+        .as(Seq("tok_pos", "sh")))
+    // occurrence count (NOT doc frequency): within-doc repeats scrub too
+    val hot = positioned.groupBy(col("sh")).agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= minOcc)
+      .orderBy(col("occ").desc, col("sh").asc).limit(maxSetSize)
+    val covered = positioned.join(broadcast(hot.select(col("sh"))), Seq("sh"))
+      .groupBy(col(id)).agg(sort_array(collect_list(col("tok_pos"))).as("_starts"))
+    // fold sorted slot starts into (running end, covered tokens, span
+    // count): a slot at-or-past the running end opens a NEW maximal span
+    // (touching intervals stay distinct spans, coverage is exact either
+    // way); an overlapping slot extends the current one
+    val folded = covered.select(col(id),
+      aggregate(
+        col("_starts"),
+        struct(lit(-1).as("e"), lit(0).as("c"), lit(0).as("s")),
+        (acc, s0) => {
+          val e = acc.getField("e"); val c = acc.getField("c"); val sp = acc.getField("s")
+          val isNew = s0 >= e
+          struct(
+            (s0 + lit(k)).as("e"),
+            when(isNew, c + lit(k)).otherwise(c + (s0 + lit(k) - e)).as("c"),
+            when(isNew, sp + lit(1)).otherwise(sp).as("s"))
+        }).as("_f"))
+      .select(col(id), col("_f.c").as("_removed"), col("_f.s").as("_spans"))
+    corpus.select(col(id), size(TextHash.tokenHashes(col(text))).as("n_tok"))
+      .join(folded, Seq(id), "left")
+      .select(col(id), col("n_tok"),
+        coalesce(col("_spans"), lit(0)).as("n_spans"),
+        coalesce(col("_removed"), lit(0)).as("n_removed"),
+        (col("n_tok") - coalesce(col("_removed"), lit(0))).as("n_kept"))
+  }
+
   /** MinHash signatures (numHashes affine permutations over the shingle
     * set). Output: (id, sig array<long>). */
   def minhashSignatures(

@@ -1,7 +1,7 @@
 package graft.kernels
 
 import graft.dedup.CapAudit
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,10 +24,19 @@ import org.apache.spark.sql.functions._
   *
   * CONTRACT: every cell must cover `distM` metres at all data latitudes
   * under the engine's OWN spherical model ([[MetersPerDegLat]] ≈ 111 195
-  * m/deg) — `cellLatDeg·111 195 ≥ distM` (validated) and
-  * `cellLonDeg·111 195·cos(max |lat|) ≥ distM` (caller-asserted; lon
-  * shrink depends on the data). Bigger cells stay correct but widen the
+  * m/deg) — `cellLatDeg·111 195 ≥ distM` (validated statically) and the
+  * lon coverage `sin(cellLonDeg/2)·cos(|lat|) ≥ sin(distM/2R)` (the EXACT
+  * spherical condition; ≈ `cellLonDeg·111 195·cos|lat| ≥ distM` at small
+  * angles). Lon shrink depends on the data, so it is VALIDATED IN-PLAN
+  * per row (VERDICT r4 #6): a point at a latitude the cell size cannot
+  * cover raises loudly at runtime — one codegen'd cos + compare riding
+  * the lat column (never pruned, no extra scan), instead of a silently
+  * missed in-range pair. Bigger cells stay correct but widen the
   * candidate set.
+  *
+  * Longitudes are treated as a planar [-180, 180) axis: a pair straddling
+  * the antimeridian is NOT candidate-paired (same scope as the reference's
+  * bounding-box semantics); shift the frame for data hugging ±180.
   *
   * 100-TB shape: the ONLY shuffle is the cell-keyed join (both exchanges
   * carry one row per point — 9 for the replicated side); candidate volume
@@ -43,6 +52,29 @@ object SpatialJoin {
     * haversine re-check uses, or the 3×3 neighborhood can miss genuinely
     * in-range pairs by the model gap). */
   val MetersPerDegLat: Double = math.Pi / 180.0 * Geo.EarthRadiusMeters
+
+  /** Guard the lat column with the exact spherical lon-coverage check:
+    * haversine gives `sin²(d/2R) ≥ cos²(|lat|max)·sin²(Δλ/2)`, so two
+    * points within `distM` satisfy `Δλ ≤ cellLonDeg` (adjacent cells —
+    * the 3×3 neighborhood finds them) whenever
+    * `sin(cellLonDeg/2)·cos(|lat|) ≥ sin(distM/2R)` holds at each point's
+    * own latitude (the pair's max-|lat| endpoint is one of the rows, so
+    * per-row validation covers the pair). Rows that violate raise —
+    * loudly, with the offending latitude — rather than silently missing
+    * genuinely in-range pairs. A cell ≥ 360° always covers; the sine is
+    * clamped at 180° so over-wide cells cannot false-positive. */
+  private def latWithLonGuard(lat: Column, distM: Double, cellLonDeg: Double): Column =
+    if (cellLonDeg >= 360.0) lat.cast("double")
+    else {
+      val sinHalfCell = math.sin(math.toRadians(math.min(cellLonDeg, 180.0)) / 2.0)
+      val sinHalfDist = math.sin(math.min(distM / (2.0 * Geo.EarthRadiusMeters), math.Pi / 2.0))
+      when(lit(sinHalfCell) * cos(radians(abs(lat))) < lit(sinHalfDist),
+        raise_error(concat(
+          lit(f"SpatialJoin: lon cell $cellLonDeg%.6f° cannot cover distM=$distM%.1f m at |lat|="),
+          round(abs(lat), 4).cast("string"),
+          lit("° — widen cellLonDeg (or pre-filter the polar band)"))))
+        .otherwise(lat).cast("double")
+    }
 
   /** All (id_a, id_b, dist_m) pairs with `dist_m ≤ distM`, id_a from
     * `left`, id_b from `right`. Column names are read off each side via
@@ -68,7 +100,7 @@ object SpatialJoin {
     require(maxCell >= 1, "maxCell must be >= 1")
     val l = left.select(
         col(idCol).as("id_a"),
-        col(latCol).cast("double").as("_lat_a"),
+        latWithLonGuard(col(latCol), distM, cellLonDeg).as("_lat_a"),
         col(lonCol).cast("double").as("_lon_a"),
         floor(col(latCol) / cellLatDeg).cast("long").as("_cx0"),
         floor(col(lonCol) / cellLonDeg).cast("long").as("_cy0"))
@@ -78,7 +110,7 @@ object SpatialJoin {
         (col("_cx0") + col("_dx")).as("_cx"), (col("_cy0") + col("_dy")).as("_cy"))
     val r0 = right.select(
       col(idCol).as("id_b"),
-      col(latCol).cast("double").as("_lat_b"),
+      latWithLonGuard(col(latCol), distM, cellLonDeg).as("_lat_b"),
       col(lonCol).cast("double").as("_lon_b"),
       floor(col(latCol) / cellLatDeg).cast("long").as("_cx"),
       floor(col(lonCol) / cellLonDeg).cast("long").as("_cy"))

@@ -112,6 +112,56 @@ object Multimodal {
     }
   }
 
+  /** REAL codec #2 for uncompressed 24-bit BMP — pure JVM, no native deps
+    * (PGM proved the [[MediaCodec]] seam; a second independent format
+    * proves the interface). Parses the BITMAPFILEHEADER ('BM' magic,
+    * little-endian pixel-data offset) + BITMAPINFOHEADER (LE width,
+    * signed LE height — negative = top-down, irrelevant to the mean —
+    * biBitCount 24, biCompression BI_RGB only) and averages ALL channel
+    * bytes over the w·h pixels, honoring the 4-byte row padding. The
+    * returned dimensions come from the HEADER, not the declared metadata
+    * — a green oracle on this path proves actual bytes were decoded.
+    * Mean luma = Σ(channel bytes)/(3wh): for the gray images the oracle
+    * synthesizes (B=G=R) this equals the per-pixel gray mean exactly
+    * (same rational, one correctly-rounded divide). */
+  object BmpCodec extends MediaCodec {
+    def decode(payload: Array[Byte], declaredWidth: Int, declaredHeight: Int): (Int, Int, Double) = {
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"malformed BMP: $msg")
+      def u16(off: Int): Int =
+        (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
+      def i32(off: Int): Int =
+        (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
+          ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
+      if (payload.length < 54) fail(s"header truncated: ${payload.length} < 54 bytes")
+      if (payload(0) != 'B' || payload(1) != 'M') fail("missing BM magic")
+      val pixelOff = i32(10)
+      val w = i32(18)
+      val hRaw = i32(22)
+      val h = math.abs(hRaw)
+      val bitCount = u16(28)
+      val compression = i32(30)
+      if (w < 0) fail(s"negative width $w")
+      if (bitCount != 24) fail(s"only 24-bit supported, got $bitCount")
+      if (compression != 0) fail(s"only BI_RGB (0) supported, got $compression")
+      val rowBytes = ((3L * w + 3L) / 4L) * 4L
+      val need = rowBytes * h
+      if (pixelOff < 54 || pixelOff.toLong + need > payload.length)
+        fail(s"raster truncated: need $need at offset $pixelOff, have ${payload.length}")
+      var s = 0L
+      var row = 0
+      while (row < h) {
+        val base = pixelOff + row * rowBytes
+        var i = 0
+        val rowPix = 3 * w
+        while (i < rowPix) { s += payload((base + i).toInt) & 0xff; i += 1 }
+        row += 1
+      }
+      val n = 3L * w * h
+      (w, h, if (n == 0) 0.0 else s.toDouble / n)
+    }
+  }
+
   case class MediaRow(id: Long, modality: String, media: Array[Byte], width: Int, height: Int)
   case class MediaFeatures(id: Long, modality: String, width: Int, height: Int, mean_luma: Double, n_bytes: Int)
 

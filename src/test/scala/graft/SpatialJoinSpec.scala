@@ -72,6 +72,34 @@ class SpatialJoinSpec extends SparkSpec {
     }
   }
 
+  test("polar fixture fails LOUDLY: lon cells that under-cover at the data's latitude raise") {
+    // cellLonDeg = 0.0015° covers 0.0015·111195·cos(89.5°) ≈ 1.5 m at
+    // 89.5°N — far short of distM = 100 m. The old contract was
+    // caller-asserted: these in-range pairs were SILENTLY missed (both
+    // points land in far-apart lon cells). Now every row carries the
+    // coverage check and the job raises, naming the latitude.
+    val polar = Seq(
+      (1L, 89.5, 116.0000),
+      (2L, 89.5, 116.0100) // ~97 m away at 89.5°N, 6+ lon cells apart
+    ).toDF("event_id", "lat", "lon")
+    val e = intercept[Exception] {
+      SpatialJoin.selfWithinDistance(polar, 100.0, cellLatDeg = 0.001, cellLonDeg = 0.0015).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("cannot cover") && m.contains("89.5")),
+      s"expected the loud lon-coverage raise, got: ${msgs(e).mkString(" | ")}")
+    // widening the lon cell to cover at 89.5° makes the same data succeed
+    // and finds the pair (0.0015° / cos(89.5°) ≈ 0.172°; use 0.2°)
+    val ok = SpatialJoin.selfWithinDistance(polar, 100.0, cellLatDeg = 0.001, cellLonDeg = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ok == Set((1L, 2L)), s"widened cells must find the polar pair, got $ok")
+    // a ≥360° cell always covers: guard compiles away, pair still found
+    val global = SpatialJoin.selfWithinDistance(polar, 100.0, cellLatDeg = 0.001, cellLonDeg = 360.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(global == Set((1L, 2L)))
+  }
+
   test("plans an equi hash/merge join on the cell key — no nested loop, no cartesian") {
     val plan = SpatialJoin.selfWithinDistance(pts, 100.0, 0.001, 0.0015)
       .queryExecution.executedPlan.toString
