@@ -3,6 +3,7 @@ package graft.features
 import graft.core.TokenAdapter
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.functions.{col, collect_list, lit, shiftleft}
 
 /** Shuffle-free kinematic+session feature kernel for PRE-GROUPED sequences.
   *
@@ -249,10 +250,11 @@ object TokenKernel {
       gapSeconds: Double = 1.5,
       docCol: String = "doc_id",
       posCol: String = "pos",
-      tokenCol: String = "token"
+      tokenCol: String = "token",
+      numPartitions: Option[Int] = None
   ): Dataset[DocVector] = {
     val state = new DocState(stepSec, gapSeconds)
-    regrouped(grid, docCol, posCol, tokenCol).map { r =>
+    regrouped(grid, docCol, posCol, tokenCol, numPartitions).map { r =>
       val (positions, tokens) = unpack(r.pt)
       state.run(r.doc_id, tokens, positions, null)
     }(Encoders.product[DocVector])
@@ -276,18 +278,82 @@ object TokenKernel {
     }(Encoders.product[TokenRow])
   }
 
-  /** One exchange, zero sorts: codegen'd pack → map-side-combined
-    * collect_list of primitive longs. */
+  /** One exchange: codegen'd pack → map-side-combined collect_list of
+    * primitive longs.
+    *
+    * CAVEAT (measured, BENCH.md §regroup): collect_list is a
+    * TypedImperativeAggregate, and ObjectHashAggregateExec falls back to
+    * SORT-based aggregation once a task's hash map passes
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` keys —
+    * Spark's default is 128, which any re-group over >128 docs/partition
+    * exceeds, silently re-introducing the giant sort this route exists to
+    * avoid (2–3× task-time on the bench corpus). Run it with the
+    * threshold sized to the expected docs/partition, or use
+    * [[regroupDocVectorsSorted]], which needs no session conf. */
   private def regrouped(
-      grid: DataFrame, docCol: String, posCol: String, tokenCol: String): Dataset[PackedSeqRow] = {
-    import org.apache.spark.sql.functions._
-    val packed = shiftleft(col(posCol).cast("long"), 32)
-      .bitwiseOR(col(tokenCol).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
-    grid
-      .select(col(docCol).cast("string").as("doc_id"), packed.as("_pt"))
+      grid: DataFrame, docCol: String, posCol: String, tokenCol: String,
+      numPartitions: Option[Int] = None): Dataset[PackedSeqRow] = {
+    packedGrid(grid, docCol, posCol, tokenCol, numPartitions)
       .groupBy(col("doc_id"))
       .agg(collect_list(col("_pt")).as("pt"))
       .as(Encoders.product[PackedSeqRow])
+  }
+
+  /** Projection to `(doc_id, packed long)`; with `numPartitions` set, an
+    * EXPLICIT hash repartition on doc_id rides here — the downstream
+    * groupBy/mapGroups reuses the partitioning (still exactly one
+    * exchange), and the explicit count (REPARTITION_BY_NUM origin) is
+    * exempt from AQE partition coalescing. Measured (BENCH.md §regroup):
+    * AQE's 64 MB advisory target coalesces the ~1 GB regroup exchange to
+    * ~one task WAVE, serializing whale-doc stragglers — pinning ~4
+    * waves/core restored 93% task-slot utilization. Leave None on real
+    * clusters unless the same one-wave pattern appears. */
+  private def packedGrid(
+      grid: DataFrame, docCol: String, posCol: String, tokenCol: String,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val packed = shiftleft(col(posCol).cast("long"), 32)
+      .bitwiseOR(col(tokenCol).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
+    val projected = grid.select(col(docCol).cast("string").as("doc_id"), packed.as("_pt"))
+    numPartitions.map(n => projected.repartition(n, col("doc_id"))).getOrElse(projected)
+  }
+
+  /** UNGROUPED-input fast path, sort-grouped formulation: exchange the
+    * packed rows on doc_id, sort each partition by the KEY ONLY (8-byte
+    * prefix comparisons — not the 8-frame window chain's multi-column
+    * sort), stream one doc at a time through the same zero-copy kernel
+    * via `groupBy(col).as[...].mapGroups`.
+    *
+    * vs [[regroupDocVectors]]: no aggregate hash map, so no
+    * `objectHashAggregate.sortBased.fallbackThreshold` sensitivity and no
+    * per-task map memory — peak memory is ONE doc's packed array (whale
+    * docs bound a task at O(n_doc), same envelope). The engine sort costs
+    * O(rows log rows) per partition but needs no session conf; the agg
+    * formulation is faster when its final map stays hash-based.
+    * RegroupKernelSpec asserts both routes bit-equal the window path. */
+  def regroupDocVectorsSorted(
+      grid: DataFrame,
+      stepSec: Long = 1L,
+      gapSeconds: Double = 1.5,
+      docCol: String = "doc_id",
+      posCol: String = "pos",
+      tokenCol: String = "token",
+      numPartitions: Option[Int] = None
+  ): Dataset[DocVector] = {
+    val state = new DocState(stepSec, gapSeconds)
+    packedGrid(grid, docCol, posCol, tokenCol, numPartitions)
+      .groupBy(col("doc_id"))
+      .as[String, (String, Long)](Encoders.STRING, Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .mapGroups { (doc, it) =>
+        var arr = new Array[Long](64)
+        var n = 0
+        while (it.hasNext) {
+          if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n << 1)
+          arr(n) = it.next()._2
+          n += 1
+        }
+        val (positions, tokens) = unpack(java.util.Arrays.copyOf(arr, n))
+        state.run(doc, tokens, positions, null)
+      }(Encoders.product[DocVector])
   }
 
   /** Sort the packed array (signed long order = (pos, token-unsigned)

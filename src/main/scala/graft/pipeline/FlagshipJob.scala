@@ -40,9 +40,18 @@ object FlagshipJob {
     * `preShuffleCompact` mirrors [[windowConsumeAll]]'s A/B knob: cluster
     * the compact SEQUENCE rows first so the explode + re-group aggregate
     * plan NO further exchange (GenerateExec preserves partitioning). */
-  def regroupConsumeAll(corpus: DataFrame, preShuffleCompact: Boolean = false): DataFrame = {
+  def regroupConsumeAll(
+      corpus: DataFrame,
+      preShuffleCompact: Boolean = false,
+      sortImpl: Boolean = false,
+      numPartitions: Option[Int] = None): DataFrame = {
     val clustered = if (preShuffleCompact) corpus.repartition(col("doc_id")) else corpus
     val (grid, _) = TokenAdapter.explodeTokens(clustered)
-    graft.features.TokenKernel.regroupDocVectors(grid, stepSec = 1L, gapSeconds = GapSeconds).toDF()
+    if (sortImpl)
+      graft.features.TokenKernel.regroupDocVectorsSorted(
+        grid, stepSec = 1L, gapSeconds = GapSeconds, numPartitions = numPartitions).toDF()
+    else
+      graft.features.TokenKernel.regroupDocVectors(
+        grid, stepSec = 1L, gapSeconds = GapSeconds, numPartitions = numPartitions).toDF()
   }
 }

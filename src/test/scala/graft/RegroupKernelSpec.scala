@@ -81,6 +81,52 @@ class RegroupKernelSpec extends SparkSpec {
     assert(mismatches.forall(_ == 0), s"sum mismatches: ${Kinematic.AllFeatures.zip(mismatches)}")
   }
 
+  test("sort-grouped route (mapGroups): per-doc vectors == window consume-all agg") {
+    val (grid0, ts) = TokenAdapter.explodeTokens(corpus)
+    val grid = grid0.where(pmod(xxhash64(col("doc_id"), col("pos")), lit(3)) =!= 0)
+    val ses = Sessionize.byGap(Kinematic.withKinematics(grid, ts), ts, gapSeconds = 1.5)
+    val aggs = Kinematic.AllFeatures.map(f => sum(col(f)).as(s"sum_$f")) :+
+      max(col("session_id")).as("n_sessions") :+ count(lit(1)).as("n")
+    val win = ses.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val ker = TokenKernel.regroupDocVectorsSorted(grid).toDF()
+    // the two regroup formulations must agree EXACTLY (same kernel, same
+    // per-doc sorted traversal — only the grouping machinery differs)
+    val agg = TokenKernel.regroupDocVectors(grid).toDF()
+    assert(agg.exceptAll(ker).count() == 0 && ker.exceptAll(agg).count() == 0,
+      "agg-grouped and sort-grouped regroup routes diverge")
+    val joined = win.alias("w").join(ker.alias("k"), Seq("doc_id"), "full")
+    assert(joined.count() == win.count() && win.count() == ker.count())
+    assert(joined.where(
+      col("w.n").isNull || col("k.n").isNull ||
+        col("w.n") =!= col("k.n") || col("w.n_sessions") =!= col("k.n_sessions")).count() == 0)
+  }
+
+  test("sort-grouped plan: ONE exchange, key-only sort, no aggregate map, no window") {
+    val (grid, _) = TokenAdapter.explodeTokens(corpus)
+    val plan = TokenKernel.regroupDocVectorsSorted(grid).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    // exactly one Sort, keyed on doc_id alone (the grouping key), nothing else
+    val sorts = "Sort \\[([^\\]]*)\\]".r.findAllMatchIn(plan).map(_.group(1)).toList
+    assert(sorts.length == 1 && sorts.head.contains("doc_id") && !sorts.head.contains(","),
+      s"expected one key-only sort, got $sorts\n$plan")
+  }
+
+  test("explicit numPartitions: STILL one exchange (groupBy reuses the repartition), count pinned") {
+    val (grid, _) = TokenAdapter.explodeTokens(corpus)
+    for (ds <- Seq(
+        TokenKernel.regroupDocVectorsSorted(grid, numPartitions = Some(7)),
+        TokenKernel.regroupDocVectors(grid, numPartitions = Some(7)))) {
+      val plan = ds.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+        s"explicit repartition must be REUSED by the group, not doubled:\n$plan")
+      assert(plan.contains("hashpartitioning(doc_id"), plan)
+      // REPARTITION_BY_NUM origin: AQE must not coalesce the pinned count
+      assert(ds.rdd.getNumPartitions == 7, s"expected 7 pinned partitions, got ${ds.rdd.getNumPartitions}")
+    }
+  }
+
   test("regroup plan: ONE exchange, ZERO sorts, ZERO window operators") {
     val (grid, _) = TokenAdapter.explodeTokens(corpus)
     val plan = TokenKernel.regroupDocVectors(grid).queryExecution.executedPlan.toString
