@@ -347,6 +347,51 @@ object DocQueries {
       Multimodal.decodeFeatures(bmp, Multimodal.BmpCodec)
         .select(col("id"), col("width"), col("height"), col("mean_luma"), col("n_bytes"))
     }),
+    // THIRD real codec, SECOND modality (audio): payloads are genuine
+    // RIFF/WAVE PCM files — one mono signed-16-bit sample per printable
+    // char, v = (ascii − 79)·256, plus a junk 'cue ' chunk between 'fmt '
+    // and 'data' that the codec must SKIP; frames/channels/mean all come
+    // from walking the chunk bytes, so a green oracle proves real
+    // byte-level audio decoding through the same seam.
+    "q_mm_decode_wav" -> ((sp, dir) => {
+      val t = regexp_replace(col("text"), "[^ -~]", "")
+      val n = length(t)
+      def le32(v: Column): Column = {
+        val h = substring(lpad(hex(v.cast("long")), 16, "0"), 9, 8)
+        unhex(concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def le16(v: Column): Column = {
+        val h = lpad(hex(pmod(v.cast("long"), lit(65536L))), 4, "0")
+        concat(substring(h, 3, 2), substring(h, 1, 2))
+      }
+      val samples = unhex(concat_ws("",
+        transform(split(t, ""), c => le16((ascii(c) - lit(79)) * lit(256)))))
+      val wav = docs(sp, dir).select(
+        col("doc_id").as("id"),
+        lit("audio").as("modality"),
+        concat(
+          encode(lit("RIFF"), "UTF-8"),
+          le32(n * 2 + lit(48)),            // WAVE + fmt(24) + cue(12) + data hdr(8) + samples
+          encode(lit("WAVE"), "UTF-8"),
+          encode(lit("fmt "), "UTF-8"), le32(lit(16)),
+          unhex(lit("0100")),               // PCM
+          unhex(lit("0100")),               // 1 channel
+          le32(lit(8000)),                  // sample rate
+          le32(lit(16000)),                 // byte rate
+          unhex(lit("0200")),               // block align
+          unhex(lit("1000")),               // 16 bits
+          encode(lit("cue "), "UTF-8"), le32(lit(4)), unhex(lit("DEADBEEF")), // junk: must be skipped
+          encode(lit("data"), "UTF-8"), le32(n * 2),
+          samples).as("media"),
+        struct(
+          (pmod(col("n_chars"), lit(1024)) + 16).cast("int").as("width"), // decoy
+          (pmod(col("n_chars"), lit(768)) + 16).cast("int").as("height"), // decoy
+          lit("wav").as("codec"),
+          lit(0).cast("int").as("duration_ms")).as("meta"))
+      Multimodal.decodeFeatures(wav, Multimodal.WavCodec)
+        .select(col("id"), col("width").as("n_frames"), col("height").as("n_channels"),
+          col("mean_luma").as("mean_sample"), col("n_bytes"))
+    }),
 
     // ---- deterministic sampling + sequence packing ----
     "q_smp_hash" -> ((sp, dir) =>
@@ -950,6 +995,18 @@ object DocQueries {
            |    list_reduce(list_prepend(0::BIGINT, list_transform(string_split(t, ''), c -> ascii(c)::BIGINT)), (a, b) -> a + b)::DOUBLE / length(t)
            |  END AS mean_luma,
            |  (54 + ((3 * length(t) + 3) // 4) * 4)::INT AS n_bytes
+           |FROM m""".stripMargin,
+      // decoded numbers come from walking the RIFF chunks: frames = mono
+      // sample count = len(t), channels = 1, mean = Σ(ascii−79)·256 / n
+      // (exact integer sum then one divide — same rational both engines);
+      // n_bytes = 12 RIFF/WAVE + 24 fmt + 12 junk cue + 8 data hdr + 2n
+      "q_mm_decode_wav" ->
+        s"""$MediaSql
+           |SELECT id, length(t)::INT AS n_frames, 1::INT AS n_channels,
+           |  CASE WHEN length(t) = 0 THEN 0.0 ELSE
+           |    list_reduce(list_prepend(0::BIGINT, list_transform(string_split(t, ''), c -> (ascii(c) - 79)::BIGINT * 256)), (a, b) -> a + b)::DOUBLE / length(t)
+           |  END AS mean_sample,
+           |  (56 + 2 * length(t))::INT AS n_bytes
            |FROM m""".stripMargin,
       "q_smp_hash" -> {
         // derive the affine pair exactly as TextHash.affine(x, 0) does

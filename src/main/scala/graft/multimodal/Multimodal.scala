@@ -162,6 +162,72 @@ object Multimodal {
     }
   }
 
+  /** REAL codec #3 — RIFF/WAVE PCM, the AUDIO modality through the same
+    * seam (PGM and BMP are both images; a third format in a second
+    * modality proves the interface is modality-agnostic). Walks the RIFF
+    * chunk list ('RIFF' size 'WAVE', then '<id> <le32 size> <payload>'
+    * chunks with the spec's odd-size pad byte), requires a 'fmt ' chunk
+    * with audioFormat 1 (PCM) and 16 bits/sample, and decodes the 'data'
+    * chunk as little-endian SIGNED 16-bit frames. Returns
+    * (frames-per-channel, channel count, mean SAMPLE VALUE) — the audio
+    * analogue of (width, height, mean luma); all three numbers come from
+    * the BYTES, not the declared metadata. Unknown chunks (LIST, cue,
+    * fact…) are skipped, like any real reader. */
+  object WavCodec extends MediaCodec {
+    def decode(payload: Array[Byte], declaredWidth: Int, declaredHeight: Int): (Int, Int, Double) = {
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"malformed WAV: $msg")
+      def u16(off: Int): Int =
+        (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
+      def u32(off: Int): Long =
+        (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+          ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+      def tag(off: Int): String =
+        new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (payload.length < 12) fail(s"header truncated: ${payload.length} < 12 bytes")
+      if (tag(0) != "RIFF") fail("missing RIFF magic")
+      if (tag(8) != "WAVE") fail("missing WAVE form type")
+      var pos = 12
+      var channels = -1
+      var dataOff = -1
+      var dataLen = -1L
+      while (pos + 8 <= payload.length && (channels < 0 || dataOff < 0)) {
+        val id = tag(pos)
+        val size = u32(pos + 4)
+        val body = pos + 8
+        if (body + size > payload.length) fail(s"chunk '$id' overruns payload at byte $pos")
+        id match {
+          case "fmt " =>
+            if (size < 16) fail(s"fmt chunk too short: $size")
+            val audioFormat = u16(body)
+            if (audioFormat != 1) fail(s"only PCM (1) supported, got format $audioFormat")
+            val bits = u16(body + 14)
+            if (bits != 16) fail(s"only 16-bit samples supported, got $bits")
+            channels = u16(body + 2)
+            if (channels < 1) fail(s"bad channel count $channels")
+          case "data" =>
+            if (channels < 0) fail("data chunk before fmt chunk")
+            dataOff = body; dataLen = size
+          case _ => () // LIST/cue/fact/…: skip like any real reader
+        }
+        pos = body + size.toInt + (size.toInt & 1) // odd chunks carry a pad byte
+      }
+      if (channels < 0) fail("no fmt chunk")
+      if (dataOff < 0) fail("no data chunk")
+      if (dataLen % (2L * channels) != 0)
+        fail(s"data length $dataLen not a whole number of $channels-channel 16-bit frames")
+      val nSamples = (dataLen / 2L).toInt
+      var s = 0L
+      var i = 0
+      while (i < nSamples) {
+        s += u16(dataOff + 2 * i).toShort // sign-extend the LE16
+        i += 1
+      }
+      val frames = nSamples / channels
+      (frames, channels, if (nSamples == 0) 0.0 else s.toDouble / nSamples)
+    }
+  }
+
   case class MediaRow(id: Long, modality: String, media: Array[Byte], width: Int, height: Int)
   case class MediaFeatures(id: Long, modality: String, width: Int, height: Int, mean_luma: Double, n_bytes: Int)
 
