@@ -40,6 +40,10 @@ object TextHash {
   /** Per-token polynomial hashes (codegen'd kernel). */
   def tokenHashes(text: Column): Column = kcol(TokenHashesExpr(kexp(text)))
 
+  /** Per-language stopword-hit counts, one codegen'd pass
+    * ([[LangHitsExpr]] over [[TextHashKernel.LangProfiles]]). */
+  def langHits(text: Column): Column = kcol(LangHitsExpr(kexp(text)))
+
   /** HOF formulation of [[tokenHashes]] (parity reference). */
   def tokenHashesHof(text: Column): Column =
     transform(tokens(text), w => polyHashHof(w))

@@ -157,6 +157,76 @@ object TextHashKernel {
     new GenericArrayData(java.util.Arrays.copyOf(buf, o))
   }
 
+  /** Stopword profiles for the langid heuristic (canonical definition —
+    * `graft.text.TextFeatures.StopwordProfiles` aliases this). Order is
+    * the tie-break order; an empty profile scores 0 (selected only when
+    * nothing hits). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"),
+    "zh" -> Seq() // no-latin profile: scored 0, selected only if nothing hits
+  )
+
+  /** lowercase word → bitmask of profile indices it belongs to ("la" is
+    * fr AND es, "und" is de, "que" fr+es — multi-membership is why hits
+    * are counted per mask bit, not first-match). */
+  private val langWordMask: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    LangProfiles.zipWithIndex.foreach { case ((_, ws), i) =>
+      ws.foreach(w => m.put(w, Integer.valueOf(m.getOrDefault(w, 0).intValue() | (1 << i))))
+    }
+    m
+  }
+
+  /** Per-language stopword-hit counts in ONE pass over the raw string —
+    * the codegen kernel behind `TextFeatures.withLangId`. Exactly the HOF
+    * semantics `size(filter(tokens, w => lower(w).isin(profile…)))` per
+    * language: same \s token class as [[tokenHashes]], same `lower()`
+    * (byte-wise for ASCII tokens, UTF8String.toLowerCase otherwise — the
+    * Lower expression's own two paths), one hash-map probe per token
+    * instead of langs × words interpreted comparisons per token. */
+  def langHits(s: UTF8String): ArrayData = {
+    val nLangs = LangProfiles.length
+    val counts = new Array[Int](nLangs)
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(16)
+    var hasUpper = false
+    var nonAscii = false
+    def flush(): Unit = {
+      if (sb.length > 0) {
+        val tok = sb.toString
+        val lower =
+          if (nonAscii) UTF8String.fromString(tok).toLowerCase.toString
+          else if (hasUpper) tok.toLowerCase(java.util.Locale.ROOT)
+          else tok
+        val mask = langWordMask.get(lower)
+        if (mask != null) {
+          val mv = mask.intValue()
+          var i = 0
+          while (i < nLangs) { if (((mv >> i) & 1) == 1) counts(i) += 1; i += 1 }
+        }
+        sb.setLength(0)
+      }
+      hasUpper = false
+      nonAscii = false
+    }
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (isSpace(cp)) flush()
+      else {
+        if (cp > 127) nonAscii = true
+        else if (cp >= 'A' && cp <= 'Z') hasUpper = true
+        sb.appendCodePoint(cp)
+      }
+      i += Character.charCount(cp)
+    }
+    flush()
+    new GenericArrayData(counts)
+  }
+
   /** 62-bit SimHash from token hashes (majority sign per bit of the widened
     * 62-bit hash h = h1·2³¹ + affine(h1)). */
   def simhash(th: ArrayData, bits: Int): Long = {
@@ -235,6 +305,14 @@ case class ApplyMergeExpr(child: Expression, a: Long, b: Long, m: Long) extends 
   override protected def nullSafeEval(arr: Any): Any =
     TextHashKernel.applyMerge(arr.asInstanceOf[ArrayData], a, b, m)
   override protected def withNewChildInternal(c: Expression): ApplyMergeExpr = copy(child = c)
+}
+
+case class LangHitsExpr(child: Expression) extends TextKernelUnary {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def call: String = "langHits($c)"
+  override protected def nullSafeEval(s: Any): Any =
+    TextHashKernel.langHits(s.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): LangHitsExpr = copy(child = c)
 }
 
 case class SimHashExpr(child: Expression, bits: Int) extends TextKernelUnary {

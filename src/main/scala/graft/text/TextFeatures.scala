@@ -75,32 +75,47 @@ object TextFeatures {
 
   /** Stopword-hit counts per language; deterministic n-gram-free heuristic
     * (the container has no langid model — this is the classic
-    * stopword-profile scorer). Ties break by the fixed language order. */
-  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
-    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"),
-    "zh" -> Seq() // no-latin profile: scored 0, selected only if nothing hits
-  )
+    * stopword-profile scorer). Ties break by the fixed language order.
+    * Canonical word lists live next to the codegen kernel. */
+  val StopwordProfiles: Seq[(String, Seq[String])] =
+    graft.functions.TextHashKernel.LangProfiles
 
   def langScore(toks: Column, words: Seq[String]): Column =
     if (words.isEmpty) lit(0)
     else size(filter(toks, w => lower(w).isin(words.map(lit(_)): _*)))
 
   /** Adds per-language hit counts + `lang_pred` (argmax, fixed-order ties,
-    * "und" = undetermined when nothing matches). */
+    * "und" = undetermined when nothing matches). One codegen'd pass over
+    * the raw string ([[graft.functions.LangHitsExpr]] — one hash-map probe
+    * per token) instead of langs × words interpreted `lower().isin()`
+    * comparisons per token; [[withLangIdHof]] is the parity reference
+    * (LangIdParitySpec asserts equality). */
   def withLangId(df: DataFrame, text: String = "text"): DataFrame = {
+    val hit = df.withColumn("_lh", TextHash.langHits(col(text)))
+    val scored = StopwordProfiles.zipWithIndex.foldLeft(hit) { case (acc, ((l, _), i)) =>
+      acc.withColumn(s"hits_$l", col("_lh")(i))
+    }
+    scored.withColumn("lang_pred", argmaxLang).drop("_lh")
+  }
+
+  /** HOF formulation of [[withLangId]] (parity reference — the exact
+    * `size(filter(toks, lower(w).isin(…)))` chain the DuckDB oracle
+    * mirrors). */
+  def withLangIdHof(df: DataFrame, text: String = "text"): DataFrame = {
     val toks = TextHash.tokens(col(text))
     val scored = StopwordProfiles.foldLeft(df.withColumn("_toks", toks)) { case (acc, (l, ws)) =>
       acc.withColumn(s"hits_$l", langScore(col("_toks"), ws))
     }
-    val best = StopwordProfiles.map(_._1).foldLeft((lit("und"), lit(0))) { case ((bl, bs), l) =>
+    scored.withColumn("lang_pred", argmaxLang).drop("_toks")
+  }
+
+  /** Sequential argmax over the `hits_<lang>` columns: ties keep the
+    * earlier language, "und" when nothing matches. */
+  private def argmaxLang: Column =
+    StopwordProfiles.map(_._1).foldLeft((lit("und"), lit(0))) { case ((bl, bs), l) =>
       val better = col(s"hits_$l") > bs
       (when(better, lit(l)).otherwise(bl), when(better, col(s"hits_$l")).otherwise(bs))
-    }
-    scored.withColumn("lang_pred", best._1).drop("_toks")
-  }
+    }._1
 
   /** Document fingerprint: 31-base polynomial rolling hash mod 2^31−1 over
     * the raw characters — stable, engine-portable, O(len). */
