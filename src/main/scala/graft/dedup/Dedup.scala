@@ -230,9 +230,9 @@ object Dedup {
     * 100-TB shape: one map-side-combinable df aggregate over the distinct
     * per-doc shingles (the only corpus shuffle, shingle-keyed); the hot set
     * is bounded by construction (|hot| ≤ total doc-shingles / minDf) and
-    * additionally capped at `maxSetSize` by (df desc, sh asc) — TakeOrdered,
-    * no global sort — so the scoring join always broadcasts. Span emission
-    * is then a scan + broadcast semi-join, zero further corpus shuffle.
+    * guarded LOUDLY at `maxSetSize` ([[requireBroadcastable]]) so the
+    * scoring join always broadcasts. Span emission is then a scan +
+    * broadcast semi-join, zero further corpus shuffle.
     *
     * Output: (id, tok_pos, sh, df) — one row per boilerplate shingle SLOT
     * (0-based start token). */
@@ -246,17 +246,34 @@ object Dedup {
   ): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2 (a df-1 shingle is not boilerplate), got $minDf")
     require(maxSetSize > 0, s"maxSetSize must be positive, got $maxSetSize")
-    val hot = shingles(corpus, k, id, text)
-      .select(explode(col("shingles")).as("sh"))
-      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .where(col("df") >= minDf)
-      .orderBy(col("df").desc, col("sh").asc).limit(maxSetSize)
+    val hot = requireBroadcastable(
+      shingles(corpus, k, id, text)
+        .select(explode(col("shingles")).as("sh"))
+        .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .where(col("df") >= minDf),
+      maxSetSize, s"boilerplateSpans(minDf=$minDf, k=$k)")
     val positioned = corpus.select(
       col(id),
       posexplode(TextHash.positionedShingleHashes(TextHash.tokenHashes(col(text)), k))
         .as(Seq("tok_pos", "sh")))
     positioned.join(broadcast(hot), Seq("sh"))
       .select(col(id), col("tok_pos"), col("sh"), col("df"))
+  }
+
+  /** Materialize a hot-set frame under a LOUD size contract (module law:
+    * guards raise, never silently drop — a silently top-capped hot set
+    * would under-scrub, and the former `orderBy.limit` TakeOrdered form
+    * additionally merged partitions × maxSetSize rows on the driver at
+    * cluster scale). `limit(max+1).collect()` bounds driver memory by
+    * construction, raises with sizing advice when the set overflows, and
+    * returns a local relation the join planner broadcasts without
+    * re-executing the aggregate lineage. */
+  private def requireBroadcastable(hot: DataFrame, maxSetSize: Int, what: String): DataFrame = {
+    val rows = hot.limit(maxSetSize + 1).collect()
+    require(rows.length <= maxSetSize,
+      s"$what: hot shingle set exceeds maxSetSize = $maxSetSize — raise the frequency floor " +
+        s"(minDf/minOcc) or the shingle length k, or raise maxSetSize")
+    hot.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), hot.schema)
   }
 
   /** SUBSTRING-level dedup (VERDICT r4 #8): exact repeated-substring
@@ -276,11 +293,13 @@ object Dedup {
     *
     * 100-TB shape: ONE shingle-keyed map-side-combined occurrence count
     * (the only corpus-wide shuffle), hot set bounded by construction
-    * (≤ total slots / minOcc) and capped at `maxSetSize` by (occ desc, sh
-    * asc) TakeOrdered — always broadcastable; coverage is then a scan +
-    * broadcast semi-join, per-doc interval merging is ONE `aggregate` HOF
-    * fold over each doc's sorted slot array (no window, no second global
-    * sort — the regroup exchange carries only covered slots).
+    * (≤ total slots / minOcc) and guarded LOUDLY at `maxSetSize`
+    * ([[requireBroadcastable]] — an overflow raises with sizing advice
+    * rather than silently under-scrubbing the least-repeated tail);
+    * coverage is then a scan + broadcast semi-join, per-doc interval
+    * merging is ONE `aggregate` HOF fold over each doc's sorted slot
+    * array (no window, no second global sort — the regroup exchange
+    * carries only covered slots).
     *
     * Output: one row per input doc — (id, n_tok, n_spans, n_removed,
     * n_kept): maximal repeated-span count, tokens excised, tokens kept. */
@@ -300,10 +319,12 @@ object Dedup {
       posexplode(TextHash.positionedShingleHashes(TextHash.tokenHashes(col(text)), k))
         .as(Seq("tok_pos", "sh")))
     // occurrence count (NOT doc frequency): within-doc repeats scrub too
-    val hot = positioned.groupBy(col("sh")).agg(count(lit(1)).as("occ"))
-      .where(col("occ") >= minOcc)
-      .orderBy(col("occ").desc, col("sh").asc).limit(maxSetSize)
-    val covered = positioned.join(broadcast(hot.select(col("sh"))), Seq("sh"))
+    val hot = requireBroadcastable(
+      positioned.groupBy(col("sh")).agg(count(lit(1)).as("occ"))
+        .where(col("occ") >= minOcc)
+        .select(col("sh")),
+      maxSetSize, s"scrubRepeatedSpans(minOcc=$minOcc, k=$k)")
+    val covered = positioned.join(broadcast(hot), Seq("sh"))
       .groupBy(col(id)).agg(sort_array(collect_list(col("tok_pos"))).as("_starts"))
     // fold sorted slot starts into (running end, covered tokens, span
     // count): a slot at-or-past the running end opens a NEW maximal span

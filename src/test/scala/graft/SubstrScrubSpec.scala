@@ -41,4 +41,21 @@ class SubstrScrubSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dedup.scrubRepeatedSpans(d, minOcc = 1) }
     intercept[IllegalArgumentException] { Dedup.scrubRepeatedSpans(d, k = 0) }
   }
+
+  test("hot-set overflow raises LOUDLY with sizing advice, never silently under-scrubs") {
+    // 3 distinct repeated shingles ("x y z", "y z q", "z q x" … from the
+    // doubled phrase) against maxSetSize = 1: the old orderBy.limit form
+    // would silently keep the hottest shingle and miss coverage
+    val d = Seq((1L, "x y z q w x y z q w")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.scrubRepeatedSpans(d, k = 3, minOcc = 2, maxSetSize = 1)
+    }
+    assert(e.getMessage.contains("maxSetSize") && e.getMessage.contains("minDf/minOcc"),
+      s"expected sizing advice, got: ${e.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.boilerplateSpans(
+        Seq((1L, "x y z w"), (2L, "x y z w")).toDF("doc_id", "text"), minDf = 2, maxSetSize = 1)
+    }
+    assert(e2.getMessage.contains("maxSetSize"))
+  }
 }
