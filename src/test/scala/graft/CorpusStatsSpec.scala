@@ -91,19 +91,31 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 0, 3L), (1L, 1, 3L), (2L, 0, 3L)))
   }
 
-  test("boilerplateSpans maxSetSize keeps the highest-df shingles") {
+  test("boilerplateSpans maxSetSize overflow raises LOUDLY (no silent top-cap)") {
     val sq = spark
     import sq.implicits._
-    // "a b c" df=3 beats "d e f" df=2; cap 1 keeps only the former
+    // both "a b c" (df 3) and "d e f" (df 2) clear minDf = 2; cap 1 must
+    // RAISE with sizing advice — the old behavior silently kept only the
+    // hottest shingle, under-reporting boilerplate with no signal
     val d = Seq(
       (0L, "a b c d e f"),
       (1L, "a b c d e f"),
       (2L, "a b c"),
       (3L, "x y z")
     ).toDF("doc_id", "text")
-    val out = Dedup.boilerplateSpans(d, minDf = 2, maxSetSize = 1)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.boilerplateSpans(d, minDf = 2, maxSetSize = 1)
+    }
+    assert(e.getMessage.contains("maxSetSize") && e.getMessage.contains("minDf"),
+      s"expected sizing advice, got: ${e.getMessage}")
+    // a cap that FITS the whole hot set (4 shingles clear minDf = 2:
+    // "a b c" df 3, "b c d"/"c d e"/"d e f" df 2) changes nothing
+    val out = Dedup.boilerplateSpans(d, minDf = 2, maxSetSize = 4)
       .select("doc_id", "tok_pos", "df").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    assert(out == Set((0L, 0, 3L), (1L, 0, 3L), (2L, 0, 3L)))
+    assert(out == Set(
+      (0L, 0, 3L), (0L, 1, 2L), (0L, 2, 2L), (0L, 3, 2L),
+      (1L, 0, 3L), (1L, 1, 2L), (1L, 2, 2L), (1L, 3, 2L),
+      (2L, 0, 3L)))
   }
 }
