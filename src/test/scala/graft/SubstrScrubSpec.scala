@@ -42,6 +42,14 @@ class SubstrScrubSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dedup.scrubRepeatedSpans(d, k = 0) }
   }
 
+  test("all-unique corpus: EMPTY hot set broadcasts cleanly, every doc kept whole") {
+    val d = Seq((1L, "a b c d"), (2L, "e f g"), (3L, "h i j k l")).toDF("doc_id", "text")
+    val got = Dedup.scrubRepeatedSpans(d, k = 3, minOcc = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got == Map(
+      1L -> ((4, 0, 0, 4)), 2L -> ((3, 0, 0, 3)), 3L -> ((5, 0, 0, 5))))
+  }
+
   test("hot-set overflow raises LOUDLY with sizing advice, never silently under-scrubs") {
     // 3 distinct repeated shingles ("x y z", "y z q", "z q x" … from the
     // doubled phrase) against maxSetSize = 1: the old orderBy.limit form
