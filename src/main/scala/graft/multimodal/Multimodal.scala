@@ -138,6 +138,10 @@ object Multimodal {
       val pixelOff = i32(10)
       val w = i32(18)
       val hRaw = i32(22)
+      // |Int.MinValue| is still negative: a hostile 0x80000000 height would
+      // slip a negative raster size past the truncation check below and
+      // return garbage dims instead of raising — reject it explicitly
+      if (hRaw == Int.MinValue) fail(s"unrepresentable height $hRaw")
       val h = math.abs(hRaw)
       val bitCount = u16(28)
       val compression = i32(30)

@@ -58,6 +58,9 @@ class BmpCodecSpec extends SparkSpec {
       val b = bmp(1, 1, Array[Byte](1, 2, 3, 0)); b(30) = 1
       Multimodal.BmpCodec.decode(b, 1, 1)
     }
+    intercept[IllegalArgumentException] { // |Int.MinValue| height stays negative
+      Multimodal.BmpCodec.decode(bmp(1, Int.MinValue, Array[Byte](1, 2, 3, 0)), 1, 1)
+    }
   }
 
   test("decodeFeatures(BmpCodec) reports header dims, not declared metadata") {
