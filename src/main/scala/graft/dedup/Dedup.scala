@@ -269,7 +269,10 @@ object Dedup {
     * returns a local relation the join planner broadcasts without
     * re-executing the aggregate lineage. */
   private def requireBroadcastable(hot: DataFrame, maxSetSize: Int, what: String): DataFrame = {
-    val rows = hot.limit(maxSetSize + 1).collect()
+    // maxSetSize + 1 would wrap at Int.MaxValue (callers use MaxValue as
+    // "unbounded"); the probe row is only needed when a bound exists
+    val probeLimit = if (maxSetSize == Int.MaxValue) maxSetSize else maxSetSize + 1
+    val rows = hot.limit(probeLimit).collect()
     require(rows.length <= maxSetSize,
       s"$what: hot shingle set exceeds maxSetSize = $maxSetSize — raise the frequency floor " +
         s"(minDf/minOcc) or the shingle length k, or raise maxSetSize")
