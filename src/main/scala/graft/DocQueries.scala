@@ -47,6 +47,22 @@ object DocQueries {
       ).as("meta")
     )
 
+  /** Little-endian int32 bytes of a non-negative column value (shared by
+    * the BMP/WAV synthetic-container builders — one definition so the
+    * byte layout cannot drift between formats). */
+  private def le32(v: Column): Column = {
+    val h = substring(lpad(hex(v.cast("long")), 16, "0"), 9, 8)
+    unhex(concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2)))
+  }
+
+  /** Little-endian int16 HEX DIGITS of a (possibly negative, two's
+    * complement) column value — returned as hex text so per-sample calls
+    * can be concat_ws'd before one final unhex. */
+  private def le16hex(v: Column): Column = {
+    val h = lpad(hex(pmod(v.cast("long"), lit(65536L))), 4, "0")
+    concat(substring(h, 3, 2), substring(h, 1, 2))
+  }
+
   /** The media view in DuckDB SQL (op-for-op mirror of [[media]]). */
   private val MediaSql: String =
     """WITH m AS (
@@ -310,11 +326,6 @@ object DocQueries {
     "q_mm_decode_bmp" -> ((sp, dir) => {
       val t = regexp_replace(col("text"), "[^ -~]", "")
       val w = length(t)
-      // little-endian int32 bytes of a non-negative column value
-      def le32(v: Column): Column = {
-        val h = substring(lpad(hex(v.cast("long")), 16, "0"), 9, 8)
-        unhex(concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2)))
-      }
       val padN = pmod(lit(4) - pmod(w * 3, lit(4)), lit(4))
       val raster = w * 3 + padN
       val padBytes = unhex(
@@ -356,16 +367,8 @@ object DocQueries {
     "q_mm_decode_wav" -> ((sp, dir) => {
       val t = regexp_replace(col("text"), "[^ -~]", "")
       val n = length(t)
-      def le32(v: Column): Column = {
-        val h = substring(lpad(hex(v.cast("long")), 16, "0"), 9, 8)
-        unhex(concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2)))
-      }
-      def le16(v: Column): Column = {
-        val h = lpad(hex(pmod(v.cast("long"), lit(65536L))), 4, "0")
-        concat(substring(h, 3, 2), substring(h, 1, 2))
-      }
       val samples = unhex(concat_ws("",
-        transform(split(t, ""), c => le16((ascii(c) - lit(79)) * lit(256)))))
+        transform(split(t, ""), c => le16hex((ascii(c) - lit(79)) * lit(256)))))
       val wav = docs(sp, dir).select(
         col("doc_id").as("id"),
         lit("audio").as("modality"),

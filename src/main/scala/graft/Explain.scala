@@ -148,7 +148,7 @@ object Explain {
     // --- regroup route (ungrouped general path): exactly ONE exchange,
     // NO sort, NO window — the collect_list re-group replaces the window
     // chain's giant sort + 8-frame evaluation (VERDICT r4 #1) ---
-    val regroup = graft.pipeline.FlagshipJob.regroupConsumeAll(corpus.toDF())
+    val regroup = graft.pipeline.FlagshipJob.regroupConsumeAll(corpus.toDF(), sortImpl = false)
     val regroupPlan = regroup.queryExecution.executedPlan.toString
     println("=== regroup route (one exchange, no sort, no window) ===")
     check("regroup: exactly one hash exchange")(

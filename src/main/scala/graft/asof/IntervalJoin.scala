@@ -153,19 +153,28 @@ object IntervalJoin {
     // LOUD probe-key-uniqueness guard (module law: guards raise, never
     // silently drop): the winner election emits ONE row per probeKey, so
     // two DISTINCT probe rows sharing a key would silently collapse. The
-    // min/max of the full probe payload ride the same hash aggregate
-    // (partial-aggregable, no extra pass); min ≠ max ⇒ distinct rows
-    // shared the key ⇒ raise. Bit-identical duplicate rows remain
-    // undetectable — they would have produced identical output anyway.
-    val probePayload = struct(probeCols.map(col): _*)
+    // min/max of an 8-byte xxhash64 over the probe payload ride the same
+    // hash aggregate (partial-aggregable, no extra pass, and — unlike
+    // min/max of the full payload struct — no ~3× widening of per-group
+    // aggregate state on an operator whose design brief is minimal
+    // exchange bytes); min ≠ max ⇒ distinct rows shared the key ⇒ raise.
+    // Bit-identical duplicate rows remain undetectable (they would have
+    // produced identical output anyway), and a 64-bit hash collision
+    // between two distinct same-key rows (~2⁻⁶⁴) would miss the raise —
+    // the guard is a tripwire, not the correctness mechanism. The isnull
+    // markers are hashed alongside because xxhash64 SKIPS null inputs
+    // (rows differing only in which column is null would otherwise
+    // collide structurally, not probabilistically).
+    val probeHash = xxhash64(
+      probeCols.map(col) ++ probeCols.map(c => isnull(col(c)).cast("int")): _*)
     joined
       .groupBy(col(probeKey).as("_pk"))
       .agg(
         max_by(payload, ord).as("_w"),
-        min(probePayload).as("_pmin"),
-        max(probePayload).as("_pmax"))
+        min(probeHash).as("_hmin"),
+        max(probeHash).as("_hmax"))
       .select(
-        when(col("_pmin") =!= col("_pmax"), raise_error(concat(
+        when(col("_hmin") =!= col("_hmax"), raise_error(concat(
           lit("IntervalJoin.banded: probeKey "), col("_pk").cast("string"),
           lit(s" is shared by distinct probe rows — banded() emits one row per '$probeKey'; pass a unique probe key"))))
           .otherwise(col("_w")).as("_w"))

@@ -149,7 +149,13 @@ object Multimodal {
       if (bitCount != 24) fail(s"only 24-bit supported, got $bitCount")
       if (compression != 0) fail(s"only BI_RGB (0) supported, got $compression")
       val rowBytes = ((3L * w + 3L) / 4L) * 4L
-      val need = rowBytes * h
+      // multiplyExact: hostile w·h near Int.MaxValue² overflows a plain
+      // Long product to negative, which would slip PAST the truncation
+      // check and crash the pixel loop with an index error instead of
+      // the codec's loud malformed-BMP contract
+      val need =
+        try math.multiplyExact(rowBytes, h.toLong)
+        catch { case _: ArithmeticException => fail(s"raster size overflows: $w x $h") }
       if (pixelOff < 54 || pixelOff.toLong + need > payload.length)
         fail(s"raster truncated: need $need at offset $pixelOff, have ${payload.length}")
       var s = 0L

@@ -43,7 +43,12 @@ object FlagshipJob {
   def regroupConsumeAll(
       corpus: DataFrame,
       preShuffleCompact: Boolean = false,
-      sortImpl: Boolean = false,
+      // sort-grouped is the DEFAULT: conf-independent (no
+      // objectHashAggregate fallback-threshold sensitivity), measured
+      // faster and stabler (BENCH.md §Round 5); the collect_list agg
+      // route is the opt-in for network-constrained clusters (37% fewer
+      // shuffle bytes via map-side list packing)
+      sortImpl: Boolean = true,
       numPartitions: Option[Int] = None): DataFrame = {
     val clustered = if (preShuffleCompact) corpus.repartition(col("doc_id")) else corpus
     val (grid, _) = TokenAdapter.explodeTokens(clustered)

@@ -133,11 +133,22 @@ object StreamAsOf {
           valueCols.map(c => when(matched, best.getField("_p").getField(c)).as(c)): _*)
   }
 
+  // the most recent enrichLatest cache: each call releases its
+  // predecessor so repeated one-call use holds AT MOST ONE persisted
+  // histories frame, instead of leaking one per call for the session's
+  // lifetime (callers running several enrichments CONCURRENTLY must use
+  // the explicit compactBuild + enrichCompacted lifecycle — eviction of
+  // a frame a still-running query reads is recoverable but recomputes)
+  private val lastHistories = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** One-call form: compact → persist → materialize → loud drop audit →
-    * join. The compacted table is persisted for the life of the query
-    * (callers needing explicit lifecycle use [[compactBuild]] +
-    * [[enrichCompacted]]). `auditDrops = false` skips the extra audit
-    * aggregate (e.g. when the caller already knows the history depth). */
+    * join. The compacted table is persisted until the NEXT enrichLatest
+    * call (which unpersists it) or session end — bounded at one live
+    * cache; callers needing explicit lifecycle (several concurrent
+    * enrichments, long-running apps) use [[compactBuild]] +
+    * [[enrichCompacted]] and persist/unpersist themselves.
+    * `auditDrops = false` skips the extra audit aggregate (e.g. when the
+    * caller already knows the history depth). */
   def enrichLatest(
       stream: DataFrame,
       build: DataFrame,
@@ -151,6 +162,8 @@ object StreamAsOf {
   ): DataFrame = {
     val histories = compactBuild(build, entity, ts, valueCols, buildOrder, keepLastN)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    Option(lastHistories.getAndSet(histories))
+      .foreach(prev => try prev.unpersist(blocking = false) catch { case _: Exception => () })
     val nEntities = histories.count() // materialize BEFORE the first micro-batch
     if (auditDrops) {
       val dropped = droppedBuilds(build, entity, ts, keepLastN)
