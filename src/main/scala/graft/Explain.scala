@@ -49,9 +49,21 @@ object Explain {
     // --- flagship window chain (the exact job Bench times and RunPipeline
     // ships — one shared definition in FlagshipJob) ---
     val corpus = SyntheticCorpus.generate(spark, 1000)
-    val flag = graft.pipeline.FlagshipJob.windowConsumeAll(corpus)
+    // default flagship plan (round 6): the input is pre-grouped, so the
+    // zero-shuffle typed kernel is the physical plan — NO exchange, no
+    // sort, no window state anywhere
+    val flagDefault = graft.pipeline.FlagshipJob.windowConsumeAll(corpus)
+    val flagDefaultPlan = flagDefault.queryExecution.executedPlan.toString
+    println("=== flagship default (zero-shuffle per-doc kernel) ===")
+    flagDefault.explain("formatted")
+    val nDefExchanges = "Exchange hashpartitioning".r.findAllIn(flagDefaultPlan).length
+    check(s"flagship default: expected 0 hash exchanges, got $nDefExchanges")(nDefExchanges == 0)
+    check("flagship default: no window operator")(!flagDefaultPlan.contains("Window"))
+    // reference window formulation (semantics reference, unchanged
+    // invariants): exactly one exchange + one sort feeding the fused chain
+    val flag = graft.pipeline.FlagshipJob.windowReferenceConsumeAll(corpus)
     val flagPlan = flag.queryExecution.executedPlan.toString
-    println("=== flagship window chain (explode → 8-feature window → sessionize → agg) ===")
+    println("=== flagship window reference (explode → 8-feature window → sessionize → agg) ===")
     flag.explain("formatted")
     val nExchanges = "Exchange hashpartitioning".r.findAllIn(flagPlan).length
     check(s"flagship: expected 1 hash exchange, got $nExchanges")(nExchanges == 1)

@@ -19,7 +19,40 @@ object FlagshipJob {
 
   val GapSeconds = 1.5
 
-  def windowConsumeAll(corpus: DataFrame, preShuffleCompact: Boolean = true): DataFrame = {
+  /** Output column order of the original window formulation — every
+    * flagship implementation must present this exact schema. */
+  private val ConsumeAllColumns: Seq[String] =
+    "doc_id" +: Kinematic.AllFeatures.map(f => s"sum_$f") :+ "n_sessions" :+ "n"
+
+  /** The flagship consume-all job. The INPUT is the pre-grouped
+    * tokenized-sequence table (one entity per row, observations in order),
+    * so the optimal physical plan is the zero-shuffle typed kernel
+    * ([[graft.features.TokenKernel.docVectors]]) — re-grouping what the
+    * storage layout already groups is pure overhead (optimization guide
+    * §2.4/§8: use what you know that the optimizer does not). The window
+    * formulation that round 1 shipped is retained verbatim below
+    * ([[windowReferenceConsumeAll]]) as the semantics reference and stays
+    * selectable via `SPARK_GRAFT_FLAGSHIP_IMPL=window` (or `regroup` for
+    * the one-exchange general-path route). FlagshipParitySpec asserts all
+    * three produce the same rows in the same schema.
+    *
+    * `preShuffleCompact` only affects the exchange-bearing impls (the
+    * default kernel plan has no exchange at all). */
+  def windowConsumeAll(corpus: DataFrame, preShuffleCompact: Boolean = true): DataFrame =
+    sys.env.getOrElse("SPARK_GRAFT_FLAGSHIP_IMPL", "grouped") match {
+      case "window" => windowReferenceConsumeAll(corpus, preShuffleCompact)
+      case "regroup" =>
+        regroupConsumeAll(corpus, preShuffleCompact = preShuffleCompact)
+          .select(ConsumeAllColumns.map(col): _*)
+      case _ =>
+        graft.features.TokenKernel.docVectors(corpus, stepSec = 1L, gapSeconds = GapSeconds)
+          .toDF().select(ConsumeAllColumns.map(col): _*)
+    }
+
+  /** Round-1 window formulation, unchanged: explode → one exchange + sort →
+    * fused 8-feature window chain → gap sessionize → consume-all agg.
+    * Semantics reference for the parity specs and the Explain plan gate. */
+  def windowReferenceConsumeAll(corpus: DataFrame, preShuffleCompact: Boolean = true): DataFrame = {
     val clustered = if (preShuffleCompact) corpus.repartition(col("doc_id")) else corpus
     val (grid, ts) = TokenAdapter.explodeTokens(clustered)
     val ses = Sessionize.byGap(Kinematic.withKinematics(grid, ts), ts, GapSeconds)
