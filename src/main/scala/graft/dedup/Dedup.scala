@@ -160,21 +160,40 @@ object Dedup {
       k: Int = 3,
       id: String = "doc_id",
       text: String = "text",
-      estItems: Long = 1L << 22,
-      numBits: Long = 1L << 25
+      // ≤ 0 = AUTO (round 6): size the filter from the OBSERVED distinct
+      // benchmark shingle count (~9.6 bits/item ⇒ ~1% fpp), bounded by the
+      // old fixed default 2^25 bits = 4 MB. The fixed 4 MB literal cost
+      // ~2 s of DRIVER time per call — catalyst re-walks plan literals
+      // during analysis/optimization, and a 4 MB byte-array literal makes
+      // every expression-tree comparison a multi-MB scan — while the demo
+      // benchmark needs only a few KB of filter. fpp only moves the COST
+      // of the exact confirm join, never the result, so auto-sizing is
+      // output-identical; callers with GB-scale benchmarks still pass
+      // explicit sizes.
+      estItems: Long = -1L,
+      numBits: Long = -1L
   ): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    require(estItems > 0 && numBits > 0, "estItems and numBits must be positive")
     val benchShingles = benchmark
       .select(explode(TextHash.shingleHashes(TextHash.tokenHashes(col(text)), k)).as("sh"))
       .distinct()
+    val (estItemsEff, numBitsEff) =
+      if (estItems > 0 && numBits > 0) (estItems, numBits)
+      else {
+        require(estItems <= 0 && numBits <= 0,
+          "pass estItems and numBits together (or neither, for auto-sizing)")
+        // one count over the (small, benchmark-side) distinct set — the
+        // same frame the aggregate below scans again to build the filter
+        val n = math.max(benchShingles.count(), 1L)
+        (n, math.min(math.max(64L, n * 10L), 1L << 25))
+      }
     val bloomAgg = GraftSqlBridge.column(
       new BloomFilterAggregate(
         GraftSqlBridge.expression(col("sh")),
-        GraftSqlBridge.expression(lit(estItems)),
-        GraftSqlBridge.expression(lit(numBits))
+        GraftSqlBridge.expression(lit(estItemsEff)),
+        GraftSqlBridge.expression(lit(numBitsEff))
       ).toAggregateExpression())
     val bloomBytes = benchShingles.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
     val inv = shingles(corpus, k, id, text)
@@ -553,16 +572,44 @@ object Dedup {
   ): DataFrame = {
     require(maxHamming >= 0, "maxHamming must be non-negative")
     val bands = maxHamming + 1
-    val sh = persistIfEager(simhash(df, id, text), eager)
+    val sh = simhash(df, id, text)
     val bandBuckets = array(bandLayout(TextHash.simhashBits, bands).map { case (off, bits) =>
       shiftright(col("simhash"), off).bitwiseAND((1L << bits) - 1)
     }: _*)
-    val out = bandedCandidates(sh, col(id), bandBuckets, maxBucket)
-      .join(sh.select(col(id).as("id_a"), col("simhash").as("_sa")), Seq("id_a"))
-      .join(sh.select(col(id).as("id_b"), col("simhash").as("_sb")), Seq("id_b"))
+    // Round-6 shape: the 8-byte fingerprint rides THROUGH the band
+    // self-join and the exact `bit_count(xor) <= h` re-rank runs INLINE on
+    // the join output — the Θ(Σ bucket²) candidate rows are filtered in
+    // the join stage and never cross an exchange; only the (tiny) set of
+    // true ≤h pairs reaches the distinct. The old shape distinct'ed ALL
+    // candidates (one full pair shuffle) and re-joined the signature frame
+    // twice to fetch fingerprints (which also forced persisting it).
+    // hamming is a function of the pair, so distinct-on-(pair, hamming)
+    // after the filter equals the old distinct-pairs-then-filter set.
+    val banded0 = sh.select(
+      col(id).as("_id"), col("simhash").as("_sh"),
+      posexplode(bandBuckets).as(Seq("_band", "_bb")))
+    val kept =
+      if (maxBucket == Int.MaxValue) banded0
+      else {
+        // same valve as bandedCandidates: window count on the join's own
+        // (band, bucket) clustering, observation on the ONE shared frame
+        // both join sides derive from (ReusedExchange keeps the lineage
+        // single-evaluated)
+        val counted = banded0.withColumn("_sz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("_band"), col("_bb"))))
+        CapAudit
+          .observeDrops(counted, when(col("_sz") > maxBucket, 1L).otherwise(0L),
+            "banded_bucket_valve", "Dedup-band bucket sizes (raise maxBucket or re-band)")
+          .where(col("_sz") <= maxBucket).drop("_sz")
+      }
+    val out = kept.select(col("_id").as("id_a"), col("_sh").as("_sa"), col("_band"), col("_bb"))
+      .join(kept.select(col("_id").as("id_b"), col("_sh").as("_sb"), col("_band"), col("_bb")),
+        Seq("_band", "_bb"))
+      .where(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("_sa").bitwiseXOR(col("_sb"))))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
     consumeEagerly(out, sh, eager)
   }
 
@@ -604,16 +651,23 @@ object Dedup {
       localLimit: Int = 1 << 20
   ): DataFrame = {
     import org.apache.spark.sql.types.LongType
+    // cached lazily: the small path needs exactly ONE action (the probe
+    // collect below), so caching there would be pure write overhead; the
+    // distributed path materializes the cache via its first iteration
     val p2 = pairs.select(col("id_a"), col("id_b"))
       .where(col("id_a").isNotNull && col("id_b").isNotNull)
-      .cache()
     val longIds = Seq("id_a", "id_b").forall(c => p2.schema(c).dataType == LongType)
-    // size probe without hauling rows to the driver; guard the +1 overflow
+    // probe and fetch in ONE action (round 6 — the separate limit+count
+    // probe was a full extra job per call): collect at most localLimit+1
+    // narrow (long, long) rows; overflow (length > localLimit) discards
+    // them and falls to the distributed path. Transient driver footprint
+    // is bounded by the same localLimit that already sized the local path.
     val probeLimit = if (localLimit >= Int.MaxValue) Int.MaxValue else localLimit + 1
-    val small = longIds && p2.limit(probeLimit).count() <= localLimit
+    val probed = if (longIds) p2.limit(probeLimit).collect() else Array.empty[org.apache.spark.sql.Row]
+    val small = longIds && probed.length <= localLimit
     if (small) {
       // union-find with path halving; component label = min member id
-      val rows = p2.collect()
+      val rows = probed
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -629,13 +683,13 @@ object Dedup {
       }
       val labels = rows.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
         .map(n => (n, find(n)))
-      p2.unpersist()
       val spark = all.sparkSession
       import spark.implicits._
       clusterOutput(all, id, broadcast(labels.toSeq.toDF(id, "label")))
     } else {
-      val und = p2.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(p2.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val p2c = p2.cache()
+      val und = p2c.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(p2c.select(col("id_b").as("src"), col("id_a").as("dst")))
         .cache()
       var labels = und.select(col("src").as("node")).distinct()
         .withColumn("label", col("node")).cache()
@@ -660,7 +714,7 @@ object Dedup {
       }
       require(converged, s"dupClusters did not converge in $maxIters rounds")
       und.unpersist()
-      p2.unpersist()
+      p2c.unpersist()
       clusterOutput(all, id, labels.withColumnRenamed("node", id))
     }
   }

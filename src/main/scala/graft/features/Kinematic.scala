@@ -125,9 +125,82 @@ object Kinematic {
   /** K11 — the fused 8-feature vector (generate_kinematic_features,
     * kinematic_features.py:852-872). One shuffle + one sort for all eight:
     * the reference pays ≥8 full passes, 8 re-sorts and pickled IPC per pass
-    * (SURVEY.md §3.2). */
-  def withKinematics(df: DataFrame, s: TrajSchema): DataFrame =
-    withRateOfBearingRate(withJerk(withDistanceFromStart(withDistance(df, s), s), s), s)
+    * (SURVEY.md §3.2).
+    *
+    * Round 6: ONE Window operator instead of four stacked ones. The
+    * compositional chain expressed derivatives as `lag` of earlier WINDOW
+    * outputs (lag(Speed), lag(Acceleration), …), which Catalyst cannot
+    * fuse — each dependency level buffered every partition row in its own
+    * WindowExec. Here every lagged feature is RECOMPUTED from lag-1/2/3 of
+    * the base channels (lat, lon, micros) — the same IEEE ops on the same
+    * inputs, so every value is bit-identical to the stacked chain
+    * (KinematicSpec asserts it; the DuckDB oracles are unchanged) — and the
+    * single Window evaluates only frame-sharing lag/first/row_number
+    * expressions with all feature arithmetic in the codegen'd projection
+    * above it. */
+  def withKinematics(df: DataFrame, s: TrajSchema): DataFrame = {
+    val m = graft.core.Times.micros(s.tsCol)
+    val (lat, lon) = (s.latCol, s.lonCol)
+    val wFirst = s.wRows(Window.unboundedPreceding, Window.currentRow)
+    val orig = df.columns.map(col)
+    // step 1 — the ONLY Window node: every lag/first/rank the chain needs,
+    // materialized as plain columns (one partition-buffer pass). Feature
+    // arithmetic lives in the layered projections BELOW, referencing these
+    // attributes — each intermediate is named so expression trees stay
+    // small (no manual expansion: a fully-inlined formulation generated
+    // methods past the JIT's huge-method limit and ran interpreted, 40×
+    // slower — measured).
+    val lagged = df.select(orig ++ Seq(
+      lag(lat, 1).over(s.w).as("_l1a"), lag(lon, 1).over(s.w).as("_l1o"),
+      lag(lat, 2).over(s.w).as("_l2a"), lag(lon, 2).over(s.w).as("_l2o"),
+      lag(lat, 3).over(s.w).as("_l3a"), lag(lon, 3).over(s.w).as("_l3o"),
+      lag(m, 1).over(s.w).as("_m1"), lag(m, 2).over(s.w).as("_m2"),
+      lag(m, 3).over(s.w).as("_m3"),
+      row_number().over(s.w).as("_rn"),
+      first(lat).over(wFirst).as("_f0a"), first(lon).over(wFirst).as("_f0o")): _*)
+    // step 2 — Δt at offsets 0/1/2 (exact dtSeconds op order: integer
+    // micros diff, ONE correctly-rounded divide — so _dt1 ≡ lag(dt)) and
+    // the step distances/bearings at offsets 0/1/2 (same IEEE ops on the
+    // same inputs as the stacked chain's lag(Distance)/lag(Bearing))
+    val step2 = lagged.select(orig ++ Seq(
+      col("_rn"), col("_f0a"), col("_f0o"),
+      ((m - col("_m1")).cast("double") / 1e6).as("_dt0"),
+      ((col("_m1") - col("_m2")).cast("double") / 1e6).as("_dt1"),
+      ((col("_m2") - col("_m3")).cast("double") / 1e6).as("_dt2"),
+      Geo.haversine(col("_l1a"), col("_l1o"), lat, lon).as("_d0"),
+      Geo.haversine(col("_l2a"), col("_l2o"), col("_l1a"), col("_l1o")).as("_d1"),
+      Geo.haversine(col("_l3a"), col("_l3o"), col("_l2a"), col("_l2o")).as("_d2"),
+      Geo.bearing(col("_l1a"), col("_l1o"), lat, lon).as("_b0"),
+      Geo.bearing(col("_l2a"), col("_l2o"), col("_l1a"), col("_l1o")).as("_b1"),
+      Geo.bearing(col("_l3a"), col("_l3o"), col("_l2a"), col("_l2o")).as("_b2")): _*)
+    // step 3 — first derivatives at offsets 0/1/2 (≡ Speed / lag(Speed) /
+    // lag2(Speed), Bearing_Rate / lag(Bearing_Rate))
+    val step3 = step2.select(orig ++ Seq(
+      col("_rn"), col("_f0a"), col("_f0o"), col("_dt0"), col("_dt1"),
+      col("_d0"), col("_b0"),
+      Geo.infToNull(col("_d0") / col("_dt0")).as("_s0"),
+      Geo.infToNull(col("_d1") / col("_dt1")).as("_s1"),
+      Geo.infToNull(col("_d2") / col("_dt2")).as("_s2"),
+      Geo.infToNull((col("_b0") - col("_b1")) / col("_dt0")).as("_br0"),
+      Geo.infToNull((col("_b1") - col("_b2")) / col("_dt1")).as("_br1")): _*)
+    // step 4 — second derivatives (≡ Acceleration / lag(Acceleration))
+    val step4 = step3.select(orig ++ Seq(
+      col("_rn"), col("_f0a"), col("_f0o"), col("_dt0"), col("_d0"), col("_b0"),
+      col("_s0"), col("_br0"), col("_br1"),
+      Geo.infToNull((col("_s0") - col("_s1")) / col("_dt0")).as("_a0"),
+      Geo.infToNull((col("_s1") - col("_s2")) / col("_dt1")).as("_a1")): _*)
+    // step 5 — the 8 features in the chain's exact column order
+    step4.select(orig ++ Seq(
+      col("_d0").as(Distance),
+      when(col("_rn") === 1, lit(null).cast("double"))
+        .otherwise(Geo.haversine(col("_f0a"), col("_f0o"), lat, lon)).as(DistanceFromStart),
+      col("_s0").as(Speed),
+      col("_a0").as(Acceleration),
+      Geo.infToNull((col("_a0") - col("_a1")) / col("_dt0")).as(Jerk),
+      col("_b0").as(Bearing),
+      col("_br0").as(BearingRate),
+      Geo.infToNull((col("_br0") - col("_br1")) / col("_dt0")).as(RateOfBearingRate)): _*)
+  }
 
   /** K11 at skew scale — banded/salted evaluation for oversized entities.
     *

@@ -107,15 +107,26 @@ object StreamAsOf {
   }
 
   /** Enrich a stream against an already-compacted (and, for long-running
-    * queries, caller-persisted) histories frame from [[compactBuild]]. */
+    * queries, caller-persisted) histories frame from [[compactBuild]].
+    *
+    * `broadcastHistories = true` plans the stream-static join as a
+    * broadcast-hash join: each micro-batch is then map-only over its input
+    * files (no per-batch exchange of either side). Size law: the compacted
+    * table is ≤ nEntities × keepLastN snapshot structs — broadcast when
+    * that fits executor memory (the usual streaming-enrichment case);
+    * leave false for entity universes too large to ship, where the
+    * per-batch shuffle join is the correct plan. Output is identical
+    * either way (join strategy only). */
   def enrichCompacted(
       stream: DataFrame,
       histories: DataFrame,
       entity: String,
       ts: String,
       valueCols: Seq[String],
-      toleranceSec: Double = -1.0
+      toleranceSec: Double = -1.0,
+      broadcastHistories: Boolean = false
   ): DataFrame = {
+    val hist = if (broadcastHistories) broadcast(histories) else histories
     val streamCols = stream.columns.toSeq
     val pMic = Times.micros(col(ts))
     val cand = filter(col("_builds"), b => b.getField("_m") <= pMic)
@@ -126,7 +137,7 @@ object StreamAsOf {
       else pMic.isNotNull && best.isNotNull &&
         (pMic - best.getField("_m")) <= (toleranceSec * 1e6).toLong
     stream
-      .join(histories, Seq(entity), "left")
+      .join(hist, Seq(entity), "left")
       .select(
         streamCols.map(col) ++
           Seq(when(matched, mTs).as("asof_ts")) ++
@@ -173,6 +184,13 @@ object StreamAsOf {
             s"$nEntities entities — events older than an entity's oldest kept snapshot " +
             s"enrich to null; raise keepLastN or use the batch banded as-of for deep lookback")
     }
-    enrichCompacted(stream, histories, entity, ts, valueCols, toleranceSec)
+    // the cache is materialized, so its stats are the REAL bytes: joins
+    // below the session broadcast threshold go out as a broadcast-hash
+    // join (map-only micro-batches) instead of a per-batch shuffle join
+    val sz = histories.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bcThreshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val bc = bcThreshold > 0 && sz <= bcThreshold
+    enrichCompacted(stream, histories, entity, ts, valueCols, toleranceSec,
+      broadcastHistories = bc)
   }
 }

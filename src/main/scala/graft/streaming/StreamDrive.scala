@@ -180,7 +180,11 @@ object StreamDrive {
     try {
       replay(spark, stage, s =>
         StreamAsOf.enrichCompacted(s, histories, "user_id", "ts",
-            Seq("o_orderkey", "o_totalprice"))
+            Seq("o_orderkey", "o_totalprice"),
+            // bounded build: ≤ nUsers × 64 snapshot structs — broadcast it
+            // so every micro-batch is map-only (no per-batch exchange; the
+            // 128-partition shuffle join was re-launched per micro-batch)
+            broadcastHistories = true)
           .select(col("event_id"), col("asof_ts"), col("o_orderkey"), col("o_totalprice")))
     } finally histories.unpersist()
   }
