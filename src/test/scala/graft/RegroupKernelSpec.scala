@@ -134,4 +134,35 @@ class RegroupKernelSpec extends SparkSpec {
     assert(!plan.contains("Sort "), s"regroup plan must not sort:\n$plan")
     assert(!plan.contains("Window"), s"regroup plan must not window:\n$plan")
   }
+
+  test("WHALE doc (VERDICT r5 #4): one multi-million-token doc among small docs " +
+    "completes in the O(n_doc) envelope with kernel parity") {
+    import spark.implicits._
+    // 4M-token whale + small neighbors — the whale's packed array is the
+    // documented per-task memory envelope (one doc, ~32 MB of longs),
+    // far past any plausible partition row count
+    val whaleLen = 4000000
+    val docs = Seq(
+      ("whale", Array.tabulate(whaleLen)(i => (i * 2654435761L >>> 40).toInt), "web"),
+      ("small_a", Array(1, 2, 3, 4, 5), "web"),
+      ("small_b", Array.tabulate(97)(i => i * 7), "web")
+    ).toDF("doc_id", "tokens", "source")
+      .withColumn("n_tok", size(col("tokens")))
+    val (grid, _) = TokenAdapter.explodeTokens(docs)
+    val t0 = System.nanoTime()
+    val regroup = TokenKernel.regroupDocVectorsSorted(grid).toDF().collect()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    assert(regroup.length == 3, "every doc (incl. the whale) must emit a vector")
+    // parity against the pre-grouped kernel (same DocState, positions==null
+    // path) — the whale's 4M-step fold must agree exactly
+    val grouped = TokenKernel.docVectors(docs).toDF().collect()
+    val byId = grouped.map(r => r.getString(0) -> r).toMap
+    regroup.foreach { r =>
+      val g = byId(r.getString(0))
+      assert(r == g, s"regroup/grouped mismatch for ${r.getString(0)}")
+    }
+    // completion sanity: a whale that triggered quadratic work or spill
+    // explosion would blow far past this bound (typ. < 60 s on 4 cores)
+    assert(wallSec < 300.0, s"whale regroup took $wallSec s — envelope violated")
+  }
 }

@@ -87,4 +87,27 @@ class StreamAsOfSpec extends SparkSpec {
     val want = AsOfJoin.backward(ev, bigBuild, "entity", "ts", Seq("bid"))
     assert(full.exceptAll(want).count() == 0 && want.exceptAll(full).count() == 0)
   }
+
+  test("concurrent enrichments keep their own persisted histories (VERDICT r5 #6)") {
+    val buildA = Seq((1L, "u", new java.sql.Timestamp(1700000000000L)))
+      .toDF("bid", "entity", "ts")
+    val buildB = Seq((2L, "v", new java.sql.Timestamp(1700000000000L)))
+      .toDF("vid", "entity", "ts")
+    val ev = Seq((9L, "u", new java.sql.Timestamp(1700000001000L)),
+      (10L, "v", new java.sql.Timestamp(1700000001000L))).toDF("event_id", "entity", "ts")
+    val before = StreamAsOf.registeredHistories
+    val outA = StreamAsOf.enrichLatest(ev, buildA, "entity", "ts", Seq("bid"))
+    val outB = StreamAsOf.enrichLatest(ev, buildB, "entity", "ts", Seq("vid"))
+    // the second enrichment must NOT have evicted the first's frame: both
+    // registry slots live, and both outputs still serve correct rows
+    assert(StreamAsOf.registeredHistories >= before + 2,
+      "distinct builds must occupy distinct registry slots")
+    assert(outA.where(col("event_id") === 9L && col("bid") === 1L).count() == 1)
+    assert(outB.where(col("event_id") === 10L && col("vid") === 2L).count() == 1)
+    // re-enriching the SAME build replaces its own slot only (no growth)
+    val afterTwo = StreamAsOf.registeredHistories
+    StreamAsOf.enrichLatest(ev, buildA, "entity", "ts", Seq("bid"))
+    assert(StreamAsOf.registeredHistories == afterTwo,
+      "same-build re-enrichment must reuse its slot, not grow the registry")
+  }
 }
