@@ -78,7 +78,7 @@ object Dedup {
       maxDf: Int = DefaultMaxDf
   ): DataFrame = {
     val sh = shingles(df, k, id, text)
-    val inv0 = sh.select(col(id).as("_id"), col("n_shingles").as("_n"), explode(col("shingles")).as("sh"))
+    val inv0 = sh.select(col(id).as("_id"), explode(col("shingles")).as("sh"))
     val inv =
       if (maxDf == Int.MaxValue) inv0
       else {
@@ -88,18 +88,26 @@ object Dedup {
             when(col("_df") > maxDf, col("_df")).otherwise(0L),
             "jaccard_df_cap", "Dedup.hotShingles (raise maxDf for exact semantics)")
           .where(col("_df") <= maxDf)
-        val kept = inv0.join(dfCounts.select(col("sh")), Seq("sh"))
-        // surviving-set sizes: the Jaccard denominator must count the same
-        // universe as the intersection (one narrow count over the kept index)
-        kept.drop("_n").withColumn("_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("_id"))))
+        inv0.join(dfCounts.select(col("sh")), Seq("sh"))
       }
-    val a = inv.select(col("_id").as("id_a"), col("_n").as("na"), col("sh"))
-    val b = inv.select(col("_id").as("id_b"), col("_n").as("nb"), col("sh"))
+    // Round-6 shape: the pair join ships NARROW (id, sh) rows and the
+    // surviving-set sizes ride in as a per-id aggregate joined onto the
+    // (far smaller) pair table — the old plan computed sizes as a window
+    // count over the full inverted index, inserting an extra full-index
+    // exchange + sort by _id between the cap and the pair join, and
+    // carried na/nb through the join just to first() them back out.
+    // |A| = count over the kept index per id ≡ the old window count (for
+    // the uncapped path it equals n_shingles: `shingles` is the DISTINCT
+    // per-doc set); Jaccard values are bit-identical (integer counts).
+    val sizes = inv.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    val a = inv.select(col("_id").as("id_a"), col("sh"))
+    val b = inv.select(col("_id").as("id_b"), col("sh"))
     a.join(b, Seq("sh"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("c"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("_id").as("id_a"), col("_n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("_id").as("id_b"), col("_n").as("nb")), Seq("id_b"))
       .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

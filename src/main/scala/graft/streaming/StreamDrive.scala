@@ -76,7 +76,7 @@ object StreamDrive {
       spark: SparkSession,
       stage: Path,
       op: DataFrame => DataFrame,
-      statePartitions: Int = 8
+      statePartitions: Int = 4
   ): DataFrame = {
     val schema = spark.read.parquet(stage.toString).schema
     val source = spark.readStream.schema(schema)
