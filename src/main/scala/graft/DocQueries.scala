@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object DocQueries {
 
-  private def docs(sp: SparkSession, dir: String): DataFrame =
+  private def docs(sp: SparkSession, dir: String): DataFrame = {
+    graft.core.Tuning.ensureAdaptiveCachedPlans(sp)
     sp.read.parquet(s"$dir/documents.parquet")
-  private def embs(sp: SparkSession, dir: String): DataFrame =
+  }
+  private def embs(sp: SparkSession, dir: String): DataFrame = {
+    graft.core.Tuning.ensureAdaptiveCachedPlans(sp)
     sp.read.parquet(s"$dir/embeddings.parquet")
+  }
 
   private def r(c: Column, d: Int): Column = round(c, d) + 0.0
 

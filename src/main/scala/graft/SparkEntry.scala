@@ -35,8 +35,10 @@ object SparkEntry {
 
   val S: TrajSchema = TrajSchema(orderCols = Seq("event_id"))
 
-  def events(spark: SparkSession, dir: String): DataFrame =
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tuning.ensureAdaptiveCachedPlans(spark)
     spark.read.parquet(s"$dir/events.parquet")
+  }
 
   /** Order validity windows for the interval-join queries: [orderdate,
     * orderdate + (orderkey mod 7 + 1) days) — deterministic multi-day,

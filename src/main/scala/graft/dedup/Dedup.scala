@@ -100,9 +100,27 @@ object Dedup {
     // the uncapped path it equals n_shingles: `shingles` is the DISTINCT
     // per-doc set); Jaccard values are bit-identical (integer counts).
     val sizes = inv.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
-    val a = inv.select(col("_id").as("id_a"), col("sh"))
-    val b = inv.select(col("_id").as("id_b"), col("sh"))
-    a.join(b, Seq("sh"))
+    // The candidate self-join's OUTPUT (Σ_sh df(sh)² rows, partially
+    // aggregated in-stage) dwarfs its input (the narrow inverted index) —
+    // and AQE sizes post-shuffle stages from MAP-OUTPUT bytes, so at small
+    // index sizes it coalesces the join down to ONE serial task (measured:
+    // 1.9 s single-task join stage = 60% of the query wall at sf0.1). The
+    // engine knows the blow-up the optimizer cannot see (guide §8): pin the
+    // join's parallelism at the session's shuffle-partition conf — an
+    // explicit-count repartition is exempt from AQE coalescing, and both
+    // sides derive from the SAME repartitioned frame so the second exchange
+    // plans as a ReusedExchange (the index lineage still evaluates once).
+    // (SHUFFLE_MERGE: at small SFs AQE demotes the pinned SMJ to a
+    // broadcast join whose probe side becomes a per-MAPPER local shuffle
+    // read — one upstream map task ⇒ the whole pair blow-up runs serially
+    // again. The hint keeps the exchange-honoring merge join, which is the
+    // only feasible strategy at corpus scale anyway: an inverted index
+    // never fits a broadcast.)
+    val nParts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val invP = inv.repartition(nParts, col("sh"))
+    val a = invP.select(col("_id").as("id_a"), col("sh"))
+    val b = invP.select(col("_id").as("id_b"), col("sh"))
+    a.join(b.hint("SHUFFLE_MERGE"), Seq("sh"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("c"))

@@ -37,6 +37,7 @@ object StreamDrive {
   /** Stage `df` as `nRanges` parquet files ordered by `orderCol`, with
     * strictly increasing mtimes, under a fresh temp dir. */
   private def stageRanges(df: DataFrame, orderCol: String, nRanges: Int): Path = {
+    graft.core.Tuning.ensureAdaptiveCachedPlans(df.sparkSession)
     val stage = Files.createTempDirectory("graft_stream_stage_")
     df.repartitionByRange(nRanges, col(orderCol))
       .write.mode("overwrite").parquet(stage.toString)
@@ -167,6 +168,7 @@ object StreamDrive {
     * SF ([[StreamAsOf.droppedBuilds]] = 0 there), so the output equals the
     * unbounded as-of and the shared oracle stays exact. */
   def asOfOverEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.core.Tuning.ensureAdaptiveCachedPlans(spark) // before the cache() below
     val probe = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("event_id"), col("user_id"), col("ts"))
     val build = spark.read.parquet(s"$sfDir/orders.parquet")
